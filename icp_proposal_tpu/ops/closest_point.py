@@ -1,0 +1,170 @@
+"""Batched point→surface closest-point queries.
+
+TPU-native equivalent of scalismo's ``closestPointOnSurface`` /
+``findClosestPoint`` (BVH-accelerated on the JVM; call sites at reference
+``NonRigidIcpProposal.scala:97-122`` and
+``IndependentPointDistanceEvaluator.scala:40-54``).
+
+Design: on TPU the winning strategy for the reference's workload sizes
+(hundreds of query points × a few thousand triangles, × many vmapped chains)
+is a dense, branchless brute force — all point/triangle pairs evaluated on
+the VPU with a min-reduction, no trees, no data-dependent control flow.  The
+point-in-triangle region selection (Ericson, Real-Time Collision Detection
+§5.1.5) is expressed as a `where`-cascade so the whole query compiles to a
+fixed-shape elementwise program that XLA tiles and fuses.
+
+Two-pass structure keeps peak memory at one [P, F] buffer: pass 1 computes
+squared distances only and argmins over faces; pass 2 recomputes the closest
+point for the single winning face per query.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+
+def _dot(a, b):
+    return jnp.sum(a * b, axis=-1)
+
+
+def _safe_div(num, den):
+    den_safe = jnp.where(jnp.abs(den) < 1e-30, 1.0, den)
+    return num / den_safe
+
+
+def closest_point_on_triangle(p, a, b, c):
+    """Closest point on triangle (a,b,c) to p; broadcasts over leading dims.
+
+    Returns (point, dist2). Branchless region classification.
+    """
+    ab = b - a
+    ac = c - a
+    ap = p - a
+
+    d1 = _dot(ab, ap)
+    d2 = _dot(ac, ap)
+    bp = p - b
+    d3 = _dot(ab, bp)
+    d4 = _dot(ac, bp)
+    cp = p - c
+    d5 = _dot(ab, cp)
+    d6 = _dot(ac, cp)
+
+    va = d3 * d6 - d5 * d4
+    vb = d5 * d2 - d1 * d6
+    vc = d1 * d4 - d3 * d2
+
+    # interior (lowest priority)
+    denom = _safe_div(1.0, va + vb + vc)
+    v = vb * denom
+    w = vc * denom
+
+    # edge BC
+    in_bc = (va <= 0.0) & ((d4 - d3) >= 0.0) & ((d5 - d6) >= 0.0)
+    w_bc = _safe_div(d4 - d3, (d4 - d3) + (d5 - d6))
+    v = jnp.where(in_bc, 1.0 - w_bc, v)
+    w = jnp.where(in_bc, w_bc, w)
+
+    # edge AC
+    in_ac = (vb <= 0.0) & (d2 >= 0.0) & (d6 <= 0.0)
+    w_ac = _safe_div(d2, d2 - d6)
+    v = jnp.where(in_ac, 0.0, v)
+    w = jnp.where(in_ac, w_ac, w)
+
+    # edge AB
+    in_ab = (vc <= 0.0) & (d1 >= 0.0) & (d3 <= 0.0)
+    v_ab = _safe_div(d1, d1 - d3)
+    v = jnp.where(in_ab, v_ab, v)
+    w = jnp.where(in_ab, 0.0, w)
+
+    # vertex C
+    in_c = (d6 >= 0.0) & (d5 <= d6)
+    v = jnp.where(in_c, 0.0, v)
+    w = jnp.where(in_c, 1.0, w)
+
+    # vertex B
+    in_b = (d3 >= 0.0) & (d4 <= d3)
+    v = jnp.where(in_b, 1.0, v)
+    w = jnp.where(in_b, 0.0, w)
+
+    # vertex A (highest priority)
+    in_a = (d1 <= 0.0) & (d2 <= 0.0)
+    v = jnp.where(in_a, 0.0, v)
+    w = jnp.where(in_a, 0.0, w)
+
+    # degenerate-triangle safety: clamp to valid barycentric range
+    v = jnp.clip(v, 0.0, 1.0)
+    w = jnp.clip(w, 0.0, 1.0)
+    s = v + w
+    scale = jnp.where(s > 1.0, 1.0 / jnp.maximum(s, 1e-30), 1.0)
+    v = v * scale
+    w = w * scale
+
+    point = a + v[..., None] * ab + w[..., None] * ac
+    diff = p - point
+    return point, _dot(diff, diff)
+
+
+def _triangle_dist2(p, a, b, c):
+    """Squared distance only (cheaper pass-1 form)."""
+    _, d2 = closest_point_on_triangle(p, a, b, c)
+    return d2
+
+
+@functools.partial(jax.jit, static_argnames=())
+def surface_distances(queries, triangles):
+    """Squared distance from each query to a triangle soup.
+
+    queries : [P, 3]; triangles : [F, 3, 3] → (dist2 [P], face_idx [P]).
+    """
+    a = triangles[:, 0]
+    b = triangles[:, 1]
+    c = triangles[:, 2]
+
+    d2 = _triangle_dist2(
+        queries[:, None, :], a[None, :, :], b[None, :, :], c[None, :, :]
+    )  # [P, F]
+    face_idx = jnp.argmin(d2, axis=1)
+    return jnp.min(d2, axis=1), face_idx
+
+
+def closest_points_on_surface(queries, triangles):
+    """Full closest-point query.
+
+    queries : [P, 3]; triangles : [F, 3, 3]
+    Returns (points [P,3], dist2 [P], face_idx [P]).
+    """
+    dist2, face_idx = surface_distances(queries, triangles)
+    tri = triangles[face_idx]  # [P, 3, 3]
+    cp, _ = closest_point_on_triangle(queries, tri[:, 0], tri[:, 1], tri[:, 2])
+    return cp, dist2, face_idx
+
+
+def nearest_vertices(queries, points):
+    """Nearest-vertex ids: queries [P,3] vs points [V,3] → ids [P].
+
+    Replaces scalismo's KD-tree ``findClosestPoint`` with a dense [P, V]
+    min-reduction (tiny at reference scales, fully vectorized on TPU).
+    """
+    d2 = jnp.sum(
+        (queries[:, None, :] - points[None, :, :]) ** 2, axis=-1
+    )  # [P, V]
+    return jnp.argmin(d2, axis=1)
+
+
+def nearest_vertex_of_faces(cells, face_idx, cp, points):
+    """Nearest of the 3 corners of the hit face to the closest point.
+
+    A cheaper stand-in for a full nearest-vertex query when the closest
+    surface point is already known: the globally nearest vertex to a point
+    lying on face f is one of f's corners for well-shaped meshes.  Used where
+    the reference chains ``closestPointOnSurface`` + ``findClosestPoint``
+    (e.g. ``NonRigidIcpProposal.scala:97-99``).
+    """
+    corner_ids = cells[face_idx]  # [P, 3]
+    corners = points[corner_ids]  # [P, 3, 3]
+    d2 = jnp.sum((corners - cp[:, None, :]) ** 2, axis=-1)  # [P, 3]
+    pick = jnp.argmin(d2, axis=1)
+    return jnp.take_along_axis(corner_ids, pick[:, None], axis=1)[:, 0]

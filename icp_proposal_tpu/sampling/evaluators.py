@@ -1,0 +1,276 @@
+"""Likelihood / prior evaluators.
+
+TPU-native redesign of the reference's evaluator suite
+(``api/sampling/evaluators/*``, assembled by
+``api/sampling/ProductEvaluators.scala``): each evaluator is a pure function
+of (gpmm, state, decoded current points) returning a log-density; a "program"
+evaluates all named evaluators once per candidate and returns the product
+(sum of logs) plus the named values for logging.  The reference's
+``EvaluationCaching`` LRU disappears: the current state's values live in the
+scan carry, so nothing is ever recomputed.
+
+Distribution conventions (matching breeze):
+    Gaussian(mean, σ).logPdf(x)  = -(x-mean)²/(2σ²) - log(σ·√(2π))
+    Exponential(rate).logPdf(x)  = log(rate) - rate·x   (for x ≥ 0)
+"""
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+from typing import Callable, Dict, List, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from icp_proposal_tpu.mesh import TriangleMesh
+from icp_proposal_tpu.models import gpmm as gp
+from icp_proposal_tpu.ops.closest_point import (
+    closest_points_on_surface,
+    nearest_vertex_of_faces,
+    surface_distances,
+)
+from icp_proposal_tpu.ops.surface_sampling import seeded_vertex_subset
+from icp_proposal_tpu.sampling.context import TargetContext
+from icp_proposal_tpu.sampling.state import FitState
+
+_LOG_2PI = math.log(2.0 * math.pi)
+
+
+def gaussian_logpdf(x, mean, sigma):
+    z = (x - mean) / sigma
+    return -0.5 * z * z - jnp.log(sigma) - 0.5 * _LOG_2PI
+
+
+def exponential_logpdf(x, rate):
+    return jnp.log(rate) - rate * x
+
+
+# ---------------------------------------------------------------------------
+# specs (static configuration; see SURVEY §5.6 configuration surface)
+# ---------------------------------------------------------------------------
+
+@dataclass(frozen=True)
+class IndependentPointsSpec:
+    """Sum of Gaussian(0,σ) log-likelihoods of point→surface distances
+    (reference ``IndependentPointDistanceEvaluator.scala:27-67``)."""
+
+    sigma: float = 1.0
+    mode: str = "model_to_target"  # model_to_target | target_to_model | symmetric
+    n_points: int = 100
+    name: str = "distance"
+
+
+@dataclass(frozen=True)
+class HausdorffSpec:
+    """Exponential(rate) log-likelihood of the full symmetric Hausdorff
+    distance (reference ``HausdorffDistanceEvaluator.scala:25-36``)."""
+
+    rate: float = 1.0
+    name: str = "distance_haussdorff"  # sic — reference key spelling
+
+
+@dataclass(frozen=True)
+class CollectiveAvgMaxSpec:
+    """Boundary-aware (avg, max) distance likelihood for partial targets
+    (reference ``CollectiveAverageHausdorffDistanceBoundaryAwareEvaluator``).
+
+    log L = Gaussian(mean, σ_avg).logPdf(avg) + Exponential(rate_max).logPdf(max).
+
+    Deviation note: in the reference's target→model direction the boundary
+    check indexes the *target* mesh with a *model*-mesh vertex id
+    (``...Evaluator.scala:58-59`` — near-certainly a bug).  We implement the
+    intent: exclude correspondences whose nearest vertex on the queried
+    surface is a boundary vertex of that surface.
+    """
+
+    sigma_avg: float = 1.0
+    rate_max: float = 0.2
+    mean: float = 0.0
+    mode: str = "symmetric"
+    n_points: int = 100
+    name: str = "collective_distance"
+
+
+@dataclass(frozen=True)
+class AcceptAllSpec:
+    """Constant 0 log-density (reference ``AcceptAllEvaluator.scala``)."""
+
+    name: str = "acceptall"
+
+
+LikelihoodSpec = Union[IndependentPointsSpec, HausdorffSpec, CollectiveAvgMaxSpec, AcceptAllSpec]
+
+
+# ---------------------------------------------------------------------------
+# builder
+# ---------------------------------------------------------------------------
+
+class EvaluatorProgram:
+    """Evaluates prior + likelihood terms for one state.
+
+    ``__call__(state, current_points) -> (log_product, named [k])`` where
+    ``named_keys`` gives the fixed ordering ("product" first, then "prior",
+    then likelihood names — mirroring the reference's evaluator map,
+    ``ProductEvaluators.scala:38-55``).
+    """
+
+    def __init__(self, gpmm, target_ctx, specs, include_prior, model_boundary):
+        self.gpmm = gpmm
+        self.ctx = target_ctx
+        self.specs = tuple(specs)
+        self.include_prior = include_prior
+        self.named_keys: List[str] = ["product"] + (
+            ["prior"] if include_prior else []
+        ) + [s.name for s in self.specs]
+
+        v = gpmm.num_points
+        vt = int(target_ctx.points.shape[0])
+        self._model_boundary = model_boundary
+        # precomputed seeded eval subsets (reference decimates; SURVEY §7
+        # quirk (a): we use explicit seeded id subsets instead)
+        self._model_ids = {}
+        self._target_ids = {}
+        for s in self.specs:
+            if isinstance(s, (IndependentPointsSpec, CollectiveAvgMaxSpec)):
+                self._model_ids[s.name] = jnp.asarray(
+                    seeded_vertex_subset(v, s.n_points, seed=1024)
+                )
+                self._target_ids[s.name] = jnp.asarray(
+                    seeded_vertex_subset(vt, s.n_points, seed=2048)
+                )
+
+    # -- likelihood terms ---------------------------------------------------
+
+    def _independent(self, spec: IndependentPointsSpec, points):
+        terms = []
+        if spec.mode in ("model_to_target", "symmetric"):
+            q = points[self._model_ids[spec.name]]
+            d2, _ = surface_distances(q, self.ctx.tri)
+            terms.append(("m2t", jnp.sum(gaussian_logpdf(jnp.sqrt(d2), 0.0, spec.sigma))))
+        if spec.mode in ("target_to_model", "symmetric"):
+            tq = self.ctx.points[self._target_ids[spec.name]]
+            tri_cur = points[self.gpmm.cells]
+            d2, _ = surface_distances(tq, tri_cur)
+            terms.append(("t2m", jnp.sum(gaussian_logpdf(jnp.sqrt(d2), 0.0, spec.sigma))))
+        if spec.mode == "symmetric":
+            return 0.5 * terms[0][1] + 0.5 * terms[1][1]
+        return terms[0][1]
+
+    def _hausdorff(self, spec: HausdorffSpec, points):
+        tri_cur = points[self.gpmm.cells]
+        d2_m2t, _ = surface_distances(points, self.ctx.tri)
+        d2_t2m, _ = surface_distances(self.ctx.points, tri_cur)
+        hd = jnp.sqrt(jnp.maximum(jnp.max(d2_m2t), jnp.max(d2_t2m)))
+        return exponential_logpdf(hd, spec.rate)
+
+    def _collective(self, spec: CollectiveAvgMaxSpec, points):
+        def masked_avg_max(queries, tri, cells, surf_points, boundary):
+            cp, d2, fidx = closest_points_on_surface(queries, tri)
+            near = nearest_vertex_of_faces(cells, fidx, cp, surf_points)
+            keep = ~boundary[near]
+            d = jnp.sqrt(d2)
+            wsum = jnp.maximum(jnp.sum(keep), 1)
+            avg = jnp.sum(jnp.where(keep, d, 0.0)) / wsum
+            mx = jnp.max(jnp.where(keep, d, -jnp.inf))
+            return avg, mx
+
+        avgs, maxs = [], []
+        if spec.mode in ("model_to_target", "symmetric"):
+            q = points[self._model_ids[spec.name]]
+            a, m = masked_avg_max(
+                q, self.ctx.tri, self.ctx.cells, self.ctx.points, self.ctx.boundary
+            )
+            avgs.append(a)
+            maxs.append(m)
+        if spec.mode in ("target_to_model", "symmetric"):
+            tq = self.ctx.points[self._target_ids[spec.name]]
+            tri_cur = points[self.gpmm.cells]
+            a, m = masked_avg_max(
+                tq, tri_cur, self.gpmm.cells, points, self._model_boundary
+            )
+            avgs.append(a)
+            maxs.append(m)
+        if spec.mode == "symmetric":
+            avg = 0.5 * avgs[0] + 0.5 * avgs[1]
+            mx = jnp.maximum(maxs[0], maxs[1])
+        else:
+            avg, mx = avgs[0], maxs[0]
+        return gaussian_logpdf(avg, spec.mean, spec.sigma_avg) + exponential_logpdf(
+            mx, spec.rate_max
+        )
+
+    # -- program ------------------------------------------------------------
+
+    def __call__(self, state: FitState, current_points) -> Tuple[jax.Array, jax.Array]:
+        values = []
+        if self.include_prior:
+            values.append(gp.prior_logpdf(state.coeffs))
+        for s in self.specs:
+            if isinstance(s, IndependentPointsSpec):
+                values.append(self._independent(s, current_points))
+            elif isinstance(s, HausdorffSpec):
+                values.append(self._hausdorff(s, current_points))
+            elif isinstance(s, CollectiveAvgMaxSpec):
+                values.append(self._collective(s, current_points))
+            elif isinstance(s, AcceptAllSpec):
+                values.append(jnp.asarray(0.0, jnp.float32))
+            else:
+                raise TypeError(f"unknown evaluator spec {s}")
+        product = sum(values) if values else jnp.asarray(0.0, jnp.float32)
+        named = jnp.stack([product] + values)
+        return product, named
+
+
+def build_evaluator(
+    gpmm,
+    target_ctx: TargetContext,
+    specs,
+    include_prior: bool = True,
+    model_boundary=None,
+) -> EvaluatorProgram:
+    if model_boundary is None:
+        from icp_proposal_tpu.mesh import boundary_vertex_mask
+
+        model_boundary = jnp.asarray(
+            boundary_vertex_mask(np.asarray(gpmm.cells), gpmm.num_points)
+        )
+    return EvaluatorProgram(gpmm, target_ctx, specs, include_prior, model_boundary)
+
+
+# convenience factories mirroring ProductEvaluators --------------------------
+
+def proximity_and_independent(
+    gpmm, target_ctx, mode="model_to_target", sigma=1.0, n_points=100
+):
+    """Reference ``ProductEvaluators.proximityAndIndependent`` (:38-55)."""
+    return build_evaluator(
+        gpmm, target_ctx, [IndependentPointsSpec(sigma=sigma, mode=mode, n_points=n_points)]
+    )
+
+
+def proximity_and_hausdorff(gpmm, target_ctx, rate=1.0):
+    """Reference ``ProductEvaluators.proximityAndHausdorff`` (:57-74)."""
+    return build_evaluator(gpmm, target_ctx, [HausdorffSpec(rate=rate)])
+
+
+def proximity_and_collective_hausdorff_boundary_aware(
+    gpmm, target_ctx, mode="symmetric", sigma_avg=1.0, rate_max=0.2, mean=0.0, n_points=100
+):
+    """Reference ``ProductEvaluators.proximityAndCollectiveHausdorffBoundaryAware``
+    (:76-94).  Note the reference passes uncertaintyMax to breeze
+    ``Exponential`` whose parameter is a *rate*."""
+    return build_evaluator(
+        gpmm,
+        target_ctx,
+        [
+            CollectiveAvgMaxSpec(
+                sigma_avg=sigma_avg, rate_max=rate_max, mean=mean, mode=mode, n_points=n_points
+            )
+        ],
+    )
+
+
+def accept_all(gpmm, target_ctx):
+    """Reference ``ProductEvaluators.acceptAll`` (:28-36)."""
+    return build_evaluator(gpmm, target_ctx, [AcceptAllSpec()], include_prior=False)

@@ -1,0 +1,147 @@
+"""The Metropolis–Hastings engine.
+
+TPU-native replacement for scalismo's ``MetropolisHastings`` +
+``SamplingRegistration`` driver loop (reference
+``api/sampling/SamplingRegistration.scala:37-94``; L2 hot loop mapped in
+SURVEY §3.1): one jit-compiled step as a pure function
+``(carry, key) -> (carry, record)``, ``lax.scan`` over steps, ``vmap`` over
+chains, sharding over a device mesh in ``parallel/``.
+
+Asymmetric MH correction: accept iff
+    log u < [log p(θ') − log p(θ)] + [log q(θ|θ') − log q(θ'|θ)]
+with the mixture transition densities of ``MixtureProgram`` (forward factors
+anchored at the current state, reverse factors anchored at the candidate —
+the reference needs its posterior LRU exactly for this reverse anchor,
+``NonRigidIcpProposal.scala:76``; we compute it densely instead).
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from icp_proposal_tpu.mesh import vertex_normals
+from icp_proposal_tpu.sampling.evaluators import EvaluatorProgram
+from icp_proposal_tpu.sampling.proposals import MixtureProgram
+from icp_proposal_tpu.sampling.state import FitState, transformed_points
+
+
+class MhCarry(NamedTuple):
+    state: FitState
+    log_post: jax.Array  # [] cached product-evaluator value
+    named: jax.Array  # [k] cached named evaluator values
+
+
+class ChainRecord(NamedTuple):
+    """Per-step record (stacked by scan → the chain trace).
+
+    Mirrors the reference's JSON accept/reject record content
+    (``JSONAcceptRejectLogger.scala:35,93-106``): candidate evaluator values,
+    proposal identity, accept status — plus optional full candidate
+    parameters for replay/posterior analysis.
+    """
+
+    accepted: jax.Array  # [] bool
+    proposal_idx: jax.Array  # [] int32
+    log_product: jax.Array  # [] candidate product value
+    named: jax.Array  # [k] candidate named evaluator values
+    coeffs: Optional[jax.Array] = None  # [r] candidate coeffs (if stored)
+    pose: Optional[jax.Array] = None  # [9] trans+rot+center (if stored)
+
+
+def make_mh_step(gpmm, mixture: MixtureProgram, evaluator: EvaluatorProgram,
+                 store_params: bool = False):
+    """Build the jitted MH step function for a fixed configuration."""
+
+    needs_normals = mixture.needs_normals()
+
+    def step(carry: MhCarry, key) -> tuple[MhCarry, ChainRecord]:
+        state = carry.state
+        k_prop, k_sel, k_acc = jax.random.split(key, 3)
+
+        # ---- decode current state once; anchor ICP factors at it ----------
+        cur_pts = transformed_points(gpmm, state)
+        cur_normals = (
+            vertex_normals(cur_pts, gpmm.cells) if needs_normals else None
+        )
+        factors_cur = mixture.anchor_factors(state, cur_pts, cur_normals)
+
+        # ---- dense candidate generation + categorical selection ------------
+        candidates = mixture.propose_all(k_prop, state, factors_cur)
+        idx = jax.random.categorical(k_sel, mixture.log_weights)
+        cand_stack = jax.tree.map(lambda *xs: jnp.stack(xs), *candidates)
+        cand: FitState = jax.tree.map(lambda x: x[idx], cand_stack)
+
+        # ---- reverse anchor + densities -----------------------------------
+        cand_pts = transformed_points(gpmm, cand)
+        cand_normals = (
+            vertex_normals(cand_pts, gpmm.cells) if needs_normals else None
+        )
+        factors_cand = mixture.anchor_factors(cand, cand_pts, cand_normals)
+
+        log_q_fwd = mixture.log_q_mixture(state, cand, factors_cur)
+        log_q_rev = mixture.log_q_mixture(cand, state, factors_cand)
+
+        # ---- evaluate candidate posterior ---------------------------------
+        log_post_cand, named_cand = evaluator(cand, cand_pts)
+
+        log_alpha = (log_post_cand - carry.log_post) + (log_q_rev - log_q_fwd)
+        log_alpha = jnp.where(jnp.isnan(log_alpha), -jnp.inf, log_alpha)
+        accept = jnp.log(jax.random.uniform(k_acc)) < log_alpha
+
+        new_state: FitState = jax.tree.map(
+            lambda c, s: jnp.where(accept, c, s), cand, state
+        )
+        new_carry = MhCarry(
+            state=new_state,
+            log_post=jnp.where(accept, log_post_cand, carry.log_post),
+            named=jnp.where(accept, named_cand, carry.named),
+        )
+        record = ChainRecord(
+            accepted=accept,
+            proposal_idx=idx.astype(jnp.int32),
+            log_product=log_post_cand,
+            named=named_cand,
+            coeffs=cand.coeffs if store_params else None,
+            pose=(
+                jnp.concatenate([cand.trans, cand.rot, cand.center])
+                if store_params
+                else None
+            ),
+        )
+        return new_carry, record
+
+    return step
+
+
+def init_carry(gpmm, evaluator: EvaluatorProgram, state: FitState) -> MhCarry:
+    pts = transformed_points(gpmm, state)
+    log_post, named = evaluator(state, pts)
+    return MhCarry(state=state, log_post=log_post, named=named)
+
+
+@partial(jax.jit, static_argnames=("step", "n_steps"))
+def run_chain(step, carry: MhCarry, key, n_steps: int):
+    """Run one chain for n_steps. → (final carry, stacked ChainRecord)."""
+    keys = jax.random.split(key, n_steps)
+    return jax.lax.scan(step, carry, keys)
+
+
+def run_chains(step, carries: MhCarry, keys, n_steps: int):
+    """vmap over a batch of chains (leading axis of carries/keys).
+
+    This is the reference's only parallelism (``.par`` multi-chain loops,
+    ``RunMHRandomInitComparison.scala:66-86``) mapped to the TPU batch
+    dimension.
+    """
+    return jax.jit(
+        jax.vmap(lambda c, k: run_chain(step, c, k, n_steps)),
+        static_argnames=(),
+    )(carries, keys)
+
+
+def stack_states(states):
+    """Stack a list of FitStates into a batched FitState."""
+    return jax.tree.map(lambda *xs: jnp.stack(xs), *states)

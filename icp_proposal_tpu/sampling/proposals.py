@@ -1,0 +1,407 @@
+"""Proposal generators and their mixture.
+
+TPU-native redesign of the reference's proposal layer
+(``api/sampling/proposals/*`` + scalismo ``MixtureProposal``; factory
+``api/sampling/MixedProposalDistributions.scala``):
+
+  * every component is a pure (propose, log_q) pair over ``FitState``;
+  * the mixture is evaluated *densely*: each step computes every component's
+    candidate and selects one by a categorical draw — under ``vmap`` all
+    branches execute for all chains anyway, so dense evaluation costs nothing
+    extra and keeps control flow static;
+  * the mixture transition density is logsumexp over components of
+    log w_c + log q_c (scalismo ``MixtureProposal.fromProposalsWithTransition``
+    semantics), with the reference's −∞ cross-parameter-block guards
+    (``PoseProposals.scala:47-60``, ``RandomShapeUpdateProposal.scala:38-45``)
+    expressed as exact-equality masks;
+  * the informed ICP proposal computes its GP-posterior factors densely for
+    the anchor state — the reference's ``Memoize`` LRU
+    (``NonRigidIcpProposal.scala:49``) is unnecessary because the step
+    computes forward factors (at the current state) and reverse factors (at
+    the candidate) exactly once each.
+"""
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+from typing import List, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+
+from icp_proposal_tpu.mesh import vertex_normals
+from icp_proposal_tpu.models import gpmm as gp
+from icp_proposal_tpu.ops.closest_point import (
+    closest_points_on_surface,
+    nearest_vertex_of_faces,
+    nearest_vertices,
+)
+from icp_proposal_tpu.sampling.context import TargetContext
+from icp_proposal_tpu.sampling.state import FitState, pose_inverse_apply
+
+_LOG_2PI = math.log(2.0 * math.pi)
+
+
+# ---------------------------------------------------------------------------
+# specs
+# ---------------------------------------------------------------------------
+
+@dataclass(frozen=True)
+class RandomShapeSpec:
+    """α' = α + ε, ε ~ N(0, σ²I) (reference ``RandomShapeUpdateProposal``)."""
+
+    sigma: float = 0.1
+
+    @property
+    def name(self):
+        return f"RandomShape-{self.sigma}"
+
+
+@dataclass(frozen=True)
+class RotationSpec:
+    """Single-axis Euler-angle random walk (reference
+    ``GaussianAxisRotationProposal``). axis: 0=Roll(φ), 1=Pitch(θ), 2=Yaw(ψ)."""
+
+    axis: int
+    sigma: float = 0.01
+
+    @property
+    def name(self):
+        label = ("RotationRoll", "RotationPitch", "RotationYaw")[self.axis]
+        return f"{label}-{self.sigma}"
+
+
+@dataclass(frozen=True)
+class TranslationSpec:
+    """Single-axis translation random walk (reference
+    ``GaussianAxisTranslationProposal``). axis: 0=X, 1=Y, 2=Z."""
+
+    axis: int
+    sigma: float = 0.1
+
+    @property
+    def name(self):
+        return f"Translation{'XYZ'[self.axis]}-{self.sigma}"
+
+
+@dataclass(frozen=True)
+class IcpSpec:
+    """The informed closest-point proposal (reference
+    ``NonRigidIcpProposal.scala:30-154``; the paper's contribution).
+
+    direction: "model" (sample model vertices, project onto target surface) or
+    "target" (sample target vertices, find nearest model vertex).
+    """
+
+    direction: str = "model"  # model | target
+    step_length: float = 0.1
+    noise_along_normal: float = 5.0
+    tangential_noise: float = 10.0
+    n_points: int = 100
+    boundary_aware: bool = True
+
+    @property
+    def name(self):
+        label = "ModelSampling" if self.direction == "model" else "TargetSampling"
+        return f"IcpProposal-{label}-{self.step_length}Step"
+
+
+ProposalSpec = Union[RandomShapeSpec, RotationSpec, TranslationSpec, IcpSpec]
+
+
+def mixed_proposal_icp(
+    n_points: int,
+    projection_direction: str = "model_and_target",
+    tangential_noise: float = 10.0,
+    noise_along_normal: float = 5.0,
+    step_length: float = 0.1,
+    boundary_aware: bool = True,
+) -> List[Tuple[float, ProposalSpec]]:
+    """Reference ``MixedProposalDistributions.mixedProposalICP`` (:48-68)."""
+    def icp(direction):
+        return IcpSpec(
+            direction=direction,
+            step_length=step_length,
+            noise_along_normal=noise_along_normal,
+            tangential_noise=tangential_noise,
+            n_points=n_points,
+            boundary_aware=boundary_aware,
+        )
+
+    if projection_direction == "target":
+        return [(1.0, icp("target"))]
+    if projection_direction == "model":
+        return [(1.0, icp("model"))]
+    return [(0.5, icp("target")), (0.5, icp("model"))]
+
+
+def mixed_random_pose_proposal(
+    rot_yaw=0.01, rot_pitch=0.01, rot_roll=0.01, trans_x=0.1, trans_y=0.1, trans_z=0.1
+) -> List[Tuple[float, ProposalSpec]]:
+    """Reference ``mixedRandomPoseProposal`` (:29-39): equal-weight 6-way."""
+    w = 1.0 / 6.0
+    return [
+        (w, RotationSpec(axis=2, sigma=rot_yaw)),
+        (w, RotationSpec(axis=1, sigma=rot_pitch)),
+        (w, RotationSpec(axis=0, sigma=rot_roll)),
+        (w, TranslationSpec(axis=0, sigma=trans_x)),
+        (w, TranslationSpec(axis=1, sigma=trans_y)),
+        (w, TranslationSpec(axis=2, sigma=trans_z)),
+    ]
+
+
+def mixed_random_shape_proposal(steps=(0.1,)) -> List[Tuple[float, ProposalSpec]]:
+    """Reference ``mixedRandomShapeProposal`` (:41-46)."""
+    w = 1.0 / len(steps)
+    return [(w, RandomShapeSpec(sigma=s)) for s in steps]
+
+
+def nest(*weighted_groups) -> List[Tuple[float, ProposalSpec]]:
+    """Combine weighted sub-mixtures into one flat normalized mixture
+    (scalismo nests MixtureProposals; weights multiply through,
+    e.g. ``IcpProposalRegistration.scala:72``)."""
+    flat: List[Tuple[float, ProposalSpec]] = []
+    total = sum(w for w, _ in weighted_groups)
+    for w, group in weighted_groups:
+        gtotal = sum(gw for gw, _ in group)
+        for gw, spec in group:
+            flat.append((w / total * gw / gtotal, spec))
+    return flat
+
+
+# ---------------------------------------------------------------------------
+# equality guards (the reference's −∞ cross-block checks)
+# ---------------------------------------------------------------------------
+
+def _eq(a, b):
+    return jnp.all(a == b)
+
+
+def _pose_scale_equal(a: FitState, b: FitState):
+    return (
+        _eq(a.scale, b.scale)
+        & _eq(a.rot, b.rot)
+        & _eq(a.trans, b.trans)
+        & _eq(a.center, b.center)
+    )
+
+
+def _all_but_rot_axis_equal(a: FitState, b: FitState, axis: int):
+    mask = jnp.arange(3) != axis
+    return (
+        _eq(a.scale, b.scale)
+        & jnp.all(jnp.where(mask, a.rot == b.rot, True))
+        & _eq(a.trans, b.trans)
+        & _eq(a.center, b.center)
+        & _eq(a.coeffs, b.coeffs)
+    )
+
+
+def _all_but_trans_axis_equal(a: FitState, b: FitState, axis: int):
+    mask = jnp.arange(3) != axis
+    return (
+        _eq(a.scale, b.scale)
+        & _eq(a.rot, b.rot)
+        & jnp.all(jnp.where(mask, a.trans == b.trans, True))
+        & _eq(a.center, b.center)
+        & _eq(a.coeffs, b.coeffs)
+    )
+
+
+def _guard(cond, logp):
+    return jnp.where(cond, logp, -jnp.inf)
+
+
+# ---------------------------------------------------------------------------
+# ICP correspondence + factor computation
+# ---------------------------------------------------------------------------
+
+class IcpComponent:
+    """Concrete ICP proposal: spec + precomputed sample ids.
+
+    ``factors(state, cur_points, cur_normals)`` computes the coefficient-space
+    GP-posterior factors anchored at ``state`` — the entire
+    ``icpPosterior`` pipeline of the reference
+    (``NonRigidIcpProposal.scala:88-153``) reduced to closed form (see
+    ``models/gpmm.py`` docstring).
+    """
+
+    def __init__(self, spec: IcpSpec, gpmm, ctx: TargetContext, model_boundary,
+                 model_ids, target_ids):
+        self.spec = spec
+        self.gpmm = gpmm
+        self.ctx = ctx
+        self.model_boundary = model_boundary
+        self.model_ids = model_ids  # [m] sampled model vertex ids
+        self.target_ids = target_ids  # [m] sampled target vertex ids
+
+    def factors(self, state: FitState, cur_points, cur_normals) -> gp.PosteriorFactors:
+        spec = self.spec
+        if spec.direction == "model":
+            # model→target: closest point on target surface for each sampled
+            # model vertex; boundary check on the nearest *target* vertex
+            # (reference :94-109)
+            q = cur_points[self.model_ids]
+            cp, _, fidx = closest_points_on_surface(q, self.ctx.tri)
+            near = nearest_vertex_of_faces(self.ctx.cells, fidx, cp, self.ctx.points)
+            on_boundary = self.ctx.boundary[near]
+            ids = self.model_ids
+            obs_world = cp
+            normals = cur_normals[ids]
+        else:
+            # target→model: nearest *current-mesh* vertex for each sampled
+            # target point; boundary check on the model side (reference :112-131)
+            tq = self.ctx.points[self.target_ids]
+            ids = nearest_vertices(tq, cur_points)
+            on_boundary = self.model_boundary[ids]
+            obs_world = tq
+            normals = cur_normals[ids]
+
+        mask = (~on_boundary) if spec.boundary_aware else jnp.ones_like(on_boundary)
+        # displacement observation in model (reference) frame:
+        # inverse-pose the world-space correspondent (reference :106-108,126-129)
+        obs_disp = pose_inverse_apply(state, obs_world) - self.gpmm.ref_points[ids]
+        return gp.posterior_factors_anisotropic(
+            self.gpmm,
+            ids,
+            obs_disp,
+            normals,
+            spec.noise_along_normal,
+            spec.tangential_noise,
+            mask.astype(jnp.float32),
+        )
+
+    def propose(self, key, state: FitState, factors: gp.PosteriorFactors) -> FitState:
+        """α' = α + (α* − α)·stepLength, α* ~ N(α̂, M⁻¹) (reference :53-68)."""
+        alpha_star = gp.sample_posterior_coeffs(key, factors)
+        new_coeffs = state.coeffs + (alpha_star - state.coeffs) * self.spec.step_length
+        return state._replace(coeffs=new_coeffs)
+
+    def log_q(self, from_state: FitState, to_state: FitState,
+              factors_from: gp.PosteriorFactors, include_logdet: bool):
+        """q(to|from): undo the relaxation, evaluate the posterior coefficient
+        density (reference ``logTransitionProbability``, :71-85)."""
+        compensated = from_state.coeffs + (
+            to_state.coeffs - from_state.coeffs
+        ) / self.spec.step_length
+        logp = gp.transition_logpdf(factors_from, compensated, include_logdet)
+        return _guard(_pose_scale_equal(from_state, to_state), logp)
+
+
+# ---------------------------------------------------------------------------
+# mixture program
+# ---------------------------------------------------------------------------
+
+class MixtureProgram:
+    """A flattened, normalized proposal mixture over FitState.
+
+    Built once per configuration (static); used inside the jitted MH step.
+    """
+
+    def __init__(self, weighted_specs, gpmm, ctx: TargetContext, model_boundary,
+                 include_logdet: bool = True, seed: int = 1024):
+        from icp_proposal_tpu.ops.surface_sampling import seeded_vertex_subset
+
+        total = sum(w for w, _ in weighted_specs)
+        self.weights = [w / total for w, _ in weighted_specs]
+        self.specs = [s for _, s in weighted_specs]
+        self.names = [s.name for s in self.specs]
+        self.log_weights = jnp.log(jnp.asarray(self.weights, jnp.float32))
+        self.gpmm = gpmm
+        self.ctx = ctx
+        self.include_logdet = include_logdet
+        self.icp_components = {}
+        vt = int(ctx.points.shape[0])
+        for i, s in enumerate(self.specs):
+            if isinstance(s, IcpSpec):
+                self.icp_components[i] = IcpComponent(
+                    s,
+                    gpmm,
+                    ctx,
+                    model_boundary,
+                    jnp.asarray(seeded_vertex_subset(gpmm.num_points, s.n_points, seed)),
+                    jnp.asarray(seeded_vertex_subset(vt, s.n_points, seed + 1)),
+                )
+
+    @property
+    def num_components(self):
+        return len(self.specs)
+
+    def needs_normals(self):
+        return bool(self.icp_components)
+
+    # -- per-step dense computation -----------------------------------------
+
+    def anchor_factors(self, state, cur_points, cur_normals):
+        """ICP posterior factors anchored at ``state`` for every ICP
+        component → dict idx → PosteriorFactors."""
+        return {
+            i: comp.factors(state, cur_points, cur_normals)
+            for i, comp in self.icp_components.items()
+        }
+
+    def propose_all(self, key, state: FitState, factors_cur) -> List[FitState]:
+        """One candidate per component."""
+        keys = jax.random.split(key, self.num_components)
+        candidates = []
+        for i, spec in enumerate(self.specs):
+            k = keys[i]
+            if isinstance(spec, IcpSpec):
+                cand = self.icp_components[i].propose(k, state, factors_cur[i])
+            elif isinstance(spec, RandomShapeSpec):
+                eps = spec.sigma * jax.random.normal(k, state.coeffs.shape)
+                cand = state._replace(coeffs=state.coeffs + eps)
+            elif isinstance(spec, RotationSpec):
+                eps = spec.sigma * jax.random.normal(k, ())
+                cand = state._replace(
+                    rot=state.rot.at[spec.axis].add(eps.astype(state.rot.dtype))
+                )
+            elif isinstance(spec, TranslationSpec):
+                eps = spec.sigma * jax.random.normal(k, ())
+                cand = state._replace(
+                    trans=state.trans.at[spec.axis].add(eps.astype(state.trans.dtype))
+                )
+            else:
+                raise TypeError(f"unknown proposal spec {spec}")
+            candidates.append(cand)
+        return candidates
+
+    def log_q_mixture(self, from_state: FitState, to_state: FitState, factors_from):
+        """log q_mix(to|from) = logsumexp_c [ log w_c + log q_c(to|from) ]."""
+        comps = []
+        for i, spec in enumerate(self.specs):
+            if isinstance(spec, IcpSpec):
+                lq = self.icp_components[i].log_q(
+                    from_state, to_state, factors_from[i], self.include_logdet
+                )
+            elif isinstance(spec, RandomShapeSpec):
+                delta = to_state.coeffs - from_state.coeffs
+                r = delta.shape[-1]
+                logp = (
+                    -0.5 * jnp.sum((delta / spec.sigma) ** 2)
+                    - r * jnp.log(spec.sigma)
+                    - 0.5 * r * _LOG_2PI
+                )
+                lq = _guard(_pose_scale_equal(from_state, to_state), logp)
+            elif isinstance(spec, RotationSpec):
+                delta = to_state.rot[spec.axis] - from_state.rot[spec.axis]
+                logp = (
+                    -0.5 * (delta / spec.sigma) ** 2
+                    - jnp.log(spec.sigma)
+                    - 0.5 * _LOG_2PI
+                )
+                lq = _guard(
+                    _all_but_rot_axis_equal(from_state, to_state, spec.axis), logp
+                )
+            elif isinstance(spec, TranslationSpec):
+                delta = to_state.trans[spec.axis] - from_state.trans[spec.axis]
+                logp = (
+                    -0.5 * (delta / spec.sigma) ** 2
+                    - jnp.log(spec.sigma)
+                    - 0.5 * _LOG_2PI
+                )
+                lq = _guard(
+                    _all_but_trans_axis_equal(from_state, to_state, spec.axis), logp
+                )
+            comps.append(self.log_weights[i] + lq)
+        return jax.scipy.special.logsumexp(jnp.stack(comps))
