@@ -278,13 +278,26 @@ class IcpComponent:
         return state._replace(coeffs=new_coeffs)
 
     def log_q(self, from_state: FitState, to_state: FitState,
-              factors_from: gp.PosteriorFactors, include_logdet: bool):
+              factors_from: gp.PosteriorFactors, parity: bool):
         """q(to|from): undo the relaxation, evaluate the posterior coefficient
-        density (reference ``logTransitionProbability``, :71-85)."""
+        density (reference ``logTransitionProbability``, :71-85).
+
+        In exact mode (parity=False) two terms the reference omits are added:
+          * ½·log det M — the true normalizer of N(α̂, M⁻¹) (scalismo evaluates
+            a standard normal in normalized coordinates);
+          * −r·log(stepLength) — the Jacobian of the under-relaxation
+            α' = α + s(α* − α): without it the ICP density is expressed in the
+            compensated variable α*, a *different measure* than the other
+            mixture components' densities, which biases the mixture MH ratio
+            (caught by the prior-preservation test).
+        """
         compensated = from_state.coeffs + (
             to_state.coeffs - from_state.coeffs
         ) / self.spec.step_length
-        logp = gp.transition_logpdf(factors_from, compensated, include_logdet)
+        logp = gp.transition_logpdf(factors_from, compensated, include_logdet=not parity)
+        if not parity:
+            r = from_state.coeffs.shape[-1]
+            logp = logp - r * math.log(self.spec.step_length)
         return _guard(_pose_scale_equal(from_state, to_state), logp)
 
 
@@ -299,7 +312,7 @@ class MixtureProgram:
     """
 
     def __init__(self, weighted_specs, gpmm, ctx: TargetContext, model_boundary,
-                 include_logdet: bool = True, seed: int = 1024):
+                 parity: bool = False, seed: int = 1024):
         from icp_proposal_tpu.ops.surface_sampling import seeded_vertex_subset
 
         total = sum(w for w, _ in weighted_specs)
@@ -309,7 +322,10 @@ class MixtureProgram:
         self.log_weights = jnp.log(jnp.asarray(self.weights, jnp.float32))
         self.gpmm = gpmm
         self.ctx = ctx
-        self.include_logdet = include_logdet
+        # parity=True reproduces the reference's transition density exactly
+        # (no ½·log det M, no relaxation Jacobian); parity=False is the
+        # mathematically exact MH correction.  See IcpComponent.log_q.
+        self.parity = parity
         self.icp_components = {}
         vt = int(ctx.points.shape[0])
         for i, s in enumerate(self.specs):
@@ -372,7 +388,7 @@ class MixtureProgram:
         for i, spec in enumerate(self.specs):
             if isinstance(spec, IcpSpec):
                 lq = self.icp_components[i].log_q(
-                    from_state, to_state, factors_from[i], self.include_logdet
+                    from_state, to_state, factors_from[i], self.parity
                 )
             elif isinstance(spec, RandomShapeSpec):
                 delta = to_state.coeffs - from_state.coeffs

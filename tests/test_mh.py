@@ -1,0 +1,214 @@
+"""MH engine tests: mixture semantics, prior preservation (detailed balance),
+and random-walk vs ICP-proposal posterior agreement.
+
+These are the distributional tests SURVEY §7 calls for (hard part 1): an MH
+chain with a *wrong* asymmetric correction still "works" but samples the
+wrong distribution — so we verify stationary distributions, not just smoke.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from icp_proposal_tpu.mesh import TriangleMesh, boundary_vertex_mask, make_mesh
+from icp_proposal_tpu.models import gpmm as gp
+from icp_proposal_tpu.models.synthetic import make_icosphere, make_synthetic_gpmm
+from icp_proposal_tpu.sampling import mh
+from icp_proposal_tpu.sampling.context import build_target_context
+from icp_proposal_tpu.sampling.evaluators import (
+    IndependentPointsSpec,
+    build_evaluator,
+)
+from icp_proposal_tpu.sampling.proposals import (
+    IcpSpec,
+    MixtureProgram,
+    RandomShapeSpec,
+    RotationSpec,
+    TranslationSpec,
+    nest,
+)
+from icp_proposal_tpu.sampling.state import init_state
+
+
+RANK = 6
+
+
+@pytest.fixture(scope="module")
+def sphere_model():
+    points, cells = make_icosphere(subdivisions=2, radius=50.0)
+    return make_synthetic_gpmm(points, cells, rank=RANK, sigma=40.0, scale=5.0)
+
+
+@pytest.fixture(scope="module")
+def sphere_target(sphere_model):
+    """Target = model instance at known coefficients (ground truth)."""
+    alpha = jnp.zeros(RANK).at[0].set(1.5).at[1].set(-1.0)
+    pts = gp.instance_points(sphere_model, alpha)
+    return TriangleMesh(points=pts, cells=sphere_model.cells), alpha
+
+
+def _model_boundary(model):
+    return jnp.asarray(
+        boundary_vertex_mask(np.asarray(model.cells), model.num_points)
+    )
+
+
+def _run(model, mixture, evaluator, n_chains, n_steps, seed=0, coeffs0=None):
+    state0 = init_state(model, coeffs=coeffs0)
+    carry0 = mh.init_carry(model, evaluator, state0)
+    carries = jax.tree.map(
+        lambda x: jnp.broadcast_to(x, (n_chains,) + x.shape), carry0
+    )
+    keys = jax.random.split(jax.random.PRNGKey(seed), n_chains)
+    step = mh.make_mh_step(model, mixture, evaluator, store_params=True)
+    final, records = mh.run_chains(step, carries, keys, n_steps)
+    return final, records
+
+
+def test_random_walk_preserves_prior(sphere_model, sphere_target):
+    """Random-walk MH with a prior-only evaluator must sample N(0, I)."""
+    target, _ = sphere_target
+    ctx = build_target_context(target)
+    evaluator = build_evaluator(sphere_model, ctx, [], include_prior=True)
+    mixture = MixtureProgram(
+        [(1.0, RandomShapeSpec(sigma=0.4))],
+        sphere_model,
+        ctx,
+        _model_boundary(sphere_model),
+    )
+    _, records = _run(sphere_model, mixture, evaluator, n_chains=24, n_steps=1500)
+    # build the chain-of-states trace from the candidate params + accept flags
+    coeffs = _chain_states(records)
+    samples = coeffs[:, 500:, :].reshape(-1, RANK)
+    assert abs(samples.mean()) < 0.1
+    np.testing.assert_allclose(samples.std(axis=0), 1.0, atol=0.15)
+
+
+def _chain_states(records):
+    """Reconstruct per-step chain states from records (candidate coeffs when
+    accepted, previous state otherwise)."""
+    acc = np.asarray(records.accepted)  # [C, T]
+    cand = np.asarray(records.coeffs)  # [C, T, r]
+    out = np.empty_like(cand)
+    cur = cand[:, 0, :] * 0.0
+    for t in range(cand.shape[1]):
+        cur = np.where(acc[:, t][:, None], cand[:, t], cur)
+        out[:, t] = cur
+    return out
+
+
+def test_icp_proposal_preserves_prior(sphere_model, sphere_target):
+    """THE detailed-balance test: an ICP-proposal mixture with a prior-only
+    evaluator must also sample N(0, I) — any error in the asymmetric
+    q(θ|θ')/q(θ'|θ) correction shows up as bias toward the target shape."""
+    target, alpha_true = sphere_target
+    ctx = build_target_context(target)
+    evaluator = build_evaluator(sphere_model, ctx, [], include_prior=True)
+    mixture = MixtureProgram(
+        nest(
+            (0.5, [(1.0, IcpSpec(direction="model", n_points=40, step_length=0.5,
+                                 noise_along_normal=5.0, tangential_noise=10.0))]),
+            (0.5, [(1.0, RandomShapeSpec(sigma=0.4))]),
+        ),
+        sphere_model,
+        ctx,
+        _model_boundary(sphere_model),
+        parity=False,
+    )
+    _, records = _run(sphere_model, mixture, evaluator, n_chains=24, n_steps=1500)
+    coeffs = _chain_states(records)
+    samples = coeffs[:, 500:, :].reshape(-1, RANK)
+    # mean must NOT be dragged toward alpha_true = (1.5, -1, 0, ...)
+    assert abs(samples.mean(axis=0)[0]) < 0.25
+    assert abs(samples.mean(axis=0)[1]) < 0.25
+    np.testing.assert_allclose(samples.std(axis=0), 1.0, atol=0.2)
+
+
+def test_rw_vs_icp_same_posterior(sphere_model, sphere_target):
+    """Random-walk MH and ICP-proposal MH must agree on the posterior mean
+    (same likelihood, same prior) — cross-validation of the informed proposal
+    against an unquestionably correct sampler."""
+    target, alpha_true = sphere_target
+    ctx = build_target_context(target)
+    evaluator = build_evaluator(
+        sphere_model,
+        ctx,
+        [IndependentPointsSpec(sigma=1.0, mode="model_to_target", n_points=60)],
+    )
+    mix_rw = MixtureProgram(
+        [(1.0, RandomShapeSpec(sigma=0.15))],
+        sphere_model, ctx, _model_boundary(sphere_model),
+    )
+    mix_icp = MixtureProgram(
+        nest(
+            (0.8, [(1.0, IcpSpec(direction="model", n_points=40, step_length=0.2,
+                                 noise_along_normal=2.0, tangential_noise=4.0))]),
+            (0.2, [(1.0, RandomShapeSpec(sigma=0.15))]),
+        ),
+        sphere_model, ctx, _model_boundary(sphere_model),
+    )
+    _, rec_rw = _run(sphere_model, mix_rw, evaluator, n_chains=16, n_steps=2500, seed=1)
+    _, rec_icp = _run(sphere_model, mix_icp, evaluator, n_chains=16, n_steps=2500, seed=2)
+
+    mean_rw = _chain_states(rec_rw)[:, 1000:, :].reshape(-1, RANK).mean(axis=0)
+    mean_icp = _chain_states(rec_icp)[:, 1000:, :].reshape(-1, RANK).mean(axis=0)
+    np.testing.assert_allclose(mean_rw, mean_icp, atol=0.3)
+    # both should be pulled strongly toward the generating coefficients
+    assert mean_icp[0] > 0.7 and mean_icp[1] < -0.5
+
+
+def test_icp_chain_fits_target(sphere_model, sphere_target):
+    """The flagship behavior: ICP-proposal MH should fit the target fast and
+    with a healthy acceptance rate."""
+    target, alpha_true = sphere_target
+    ctx = build_target_context(target)
+    evaluator = build_evaluator(
+        sphere_model,
+        ctx,
+        [IndependentPointsSpec(sigma=0.5, mode="model_to_target", n_points=60)],
+    )
+    mixture = MixtureProgram(
+        nest(
+            (0.9, [(1.0, IcpSpec(direction="model", n_points=40, step_length=0.1,
+                                 noise_along_normal=2.0, tangential_noise=4.0))]),
+            (0.1, [(1.0, RandomShapeSpec(sigma=0.1))]),
+        ),
+        sphere_model, ctx, _model_boundary(sphere_model),
+    )
+    final, records = _run(sphere_model, mixture, evaluator, n_chains=4, n_steps=400)
+    acc_rate = np.asarray(records.accepted).mean()
+    assert 0.1 < acc_rate < 0.999
+    # MAP-ish check: best accepted sample close to ground truth
+    coeffs = _chain_states(records)[:, -1, :]
+    err = np.abs(coeffs - np.asarray(alpha_true)).max()
+    assert err < 0.6, f"final coeffs off by {err}"
+
+
+def test_pose_proposal_guards(sphere_model, sphere_target):
+    """Mixture transition density: a candidate that moved rot[0] must get
+    -inf from every component except RotationSpec(axis=0)."""
+    target, _ = sphere_target
+    ctx = build_target_context(target)
+    mixture = MixtureProgram(
+        [
+            (0.25, RotationSpec(axis=0, sigma=0.01)),
+            (0.25, RotationSpec(axis=1, sigma=0.01)),
+            (0.25, TranslationSpec(axis=0, sigma=0.1)),
+            (0.25, RandomShapeSpec(sigma=0.1)),
+        ],
+        sphere_model, ctx, _model_boundary(sphere_model),
+    )
+    s0 = init_state(sphere_model)
+    s1 = s0._replace(rot=s0.rot.at[0].add(0.02))
+    lq = float(mixture.log_q_mixture(s0, s1, {}))
+    # only the axis-0 rotation component contributes:
+    expected = float(
+        jnp.log(0.25)
+        + (-0.5 * (0.02 / 0.01) ** 2 - jnp.log(0.01) - 0.5 * jnp.log(2 * jnp.pi))
+    )
+    np.testing.assert_allclose(lq, expected, rtol=1e-4)
+
+    # identical states: shape + both rotations give finite densities; mixture
+    # must still be finite
+    lq_same = float(mixture.log_q_mixture(s0, s0, {}))
+    assert np.isfinite(lq_same)
