@@ -1,0 +1,68 @@
+"""Benchmark: samples/s/chip on the femur GPMM-100 ICP-proposal chain.
+
+Prints ONE JSON line:
+    {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+Baseline anchor: the reference publishes no numbers (SURVEY §6) and the Scala
+toolchain cannot be built in this environment (sbt needs network); the
+single-core JVM baseline is therefore an *estimate*, documented in
+BASELINE.md: ~25 samples/s for the femur GPMM-100 ICP-proposal chain
+(per-step work: several hundred point→surface queries over 3,240 triangles,
+two rank×rank GP solves, full-mesh decodes).  ``vs_baseline`` = value / 25.
+The north-star target (≥50×) corresponds to vs_baseline ≥ 50.
+"""
+import json
+import time
+
+SCALA_SINGLE_CORE_BASELINE_EST = 25.0  # samples/s (see module docstring)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from icp_proposal_tpu.apps.femur import load_femur_data, make_icp_proposal_setup
+    from icp_proposal_tpu.sampling import mh
+    from icp_proposal_tpu.sampling.state import init_state
+
+    n_chains = int(__import__("os").environ.get("BENCH_CHAINS", "128"))
+    n_steps = int(__import__("os").environ.get("BENCH_STEPS", "100"))
+
+    data = load_femur_data(model_components=100)
+    ctx, mixture, evaluator = make_icp_proposal_setup(data)
+    step = mh.make_mh_step(data.model, mixture, evaluator, store_params=False)
+
+    carry0 = mh.init_carry(data.model, evaluator, init_state(data.model))
+    carries = jax.tree.map(
+        lambda x: jnp.broadcast_to(x, (n_chains,) + x.shape), carry0
+    )
+    keys = jax.random.split(jax.random.PRNGKey(0), n_chains)
+
+    run = jax.jit(
+        lambda c, k: jax.vmap(lambda ci, ki: mh.run_chain(step, ci, ki, n_steps))(c, k)
+    )
+
+    # compile + warmup
+    final, records = run(carries, keys)
+    jax.block_until_ready(final)
+
+    t0 = time.perf_counter()
+    final, records = run(final, jax.vmap(lambda k: jax.random.fold_in(k, 1))(keys))
+    jax.block_until_ready(final)
+    dt = time.perf_counter() - t0
+
+    samples_per_sec = n_chains * n_steps / dt
+    print(
+        json.dumps(
+            {
+                "metric": "samples_per_sec_per_chip_femur_gpmm100_icp_proposal",
+                "value": round(samples_per_sec, 1),
+                "unit": "samples/s/chip",
+                "vs_baseline": round(samples_per_sec / SCALA_SINGLE_CORE_BASELINE_EST, 1),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -62,3 +62,123 @@ def load_femur_data(model_components: int = 50, data_dir: str | None = None) -> 
             np.asarray(model.cells), model.num_points
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# flagship configurations (reference ``IcpProposalRegistration.scala:50-104``)
+# ---------------------------------------------------------------------------
+
+def make_icp_proposal_setup(data: FemurData, parity: bool = False):
+    """The flagship MH configuration: 0.9·ICP-mixture (model+target dirs) +
+    0.1·random-shape; Euclidean evaluator σ=2, ModelToTarget; evaluator
+    points = 4·rank, ICP points = 2·rank (reference :59-87)."""
+    import jax.numpy as jnp
+
+    from icp_proposal_tpu.sampling.context import build_target_context
+    from icp_proposal_tpu.sampling.evaluators import proximity_and_independent
+    from icp_proposal_tpu.sampling.proposals import (
+        MixtureProgram,
+        mixed_proposal_icp,
+        mixed_random_shape_proposal,
+        nest,
+    )
+
+    model = data.model
+    ctx = build_target_context(data.target, data.target_boundary_mask)
+    n_icp = 2 * model.rank
+    n_eval = 4 * model.rank
+    mixture = MixtureProgram(
+        nest(
+            (0.9, mixed_proposal_icp(
+                n_points=n_icp,
+                projection_direction="model_and_target",
+                tangential_noise=10.0,
+                noise_along_normal=5.0,
+                step_length=0.1,
+            )),
+            (0.1, mixed_random_shape_proposal()),
+        ),
+        model,
+        ctx,
+        jnp.asarray(data.model_boundary_mask),
+        parity=parity,
+    )
+    evaluator = proximity_and_independent(
+        model, ctx, mode="model_to_target", sigma=2.0, n_points=n_eval
+    )
+    return ctx, mixture, evaluator
+
+
+def make_random_walk_setup(data: FemurData, shape_steps=(0.1,), sigma_eval=2.0):
+    """Random-walk-only configuration (the comparison chain of
+    ``RunMHRandomInitComparison.scala``)."""
+    import jax.numpy as jnp
+
+    from icp_proposal_tpu.sampling.context import build_target_context
+    from icp_proposal_tpu.sampling.evaluators import proximity_and_independent
+    from icp_proposal_tpu.sampling.proposals import (
+        MixtureProgram,
+        mixed_random_shape_proposal,
+    )
+
+    model = data.model
+    ctx = build_target_context(data.target, data.target_boundary_mask)
+    mixture = MixtureProgram(
+        mixed_random_shape_proposal(shape_steps),
+        model,
+        ctx,
+        jnp.asarray(data.model_boundary_mask),
+    )
+    evaluator = proximity_and_independent(
+        model, ctx, mode="model_to_target", sigma=sigma_eval, n_points=4 * model.rank
+    )
+    return ctx, mixture, evaluator
+
+
+def run_icp_proposal_registration(
+    num_samples: int = 10000,
+    model_components: int = 50,
+    n_chains: int = 1,
+    json_path=None,
+    seed: int = 1024,
+    verbose: bool = True,
+):
+    """End-to-end flagship run (reference ``IcpProposalRegistration.main``)."""
+    import jax
+
+    from icp_proposal_tpu.registration.comparison import evaluate_reconstruction
+    from icp_proposal_tpu.registration.sampling_registration import SamplingRegistration
+    from icp_proposal_tpu.sampling.state import transformed_mesh
+
+    data = load_femur_data(model_components)
+    ctx, mixture, evaluator = make_icp_proposal_setup(data)
+    reg = SamplingRegistration(
+        data.model, data.target, mixture, evaluator, verbose=verbose
+    )
+    result = reg.runfitting(
+        num_samples,
+        key=jax.random.PRNGKey(seed),
+        n_chains=n_chains,
+        json_path=json_path,
+    )
+    best_mesh = transformed_mesh(data.model, result.best_state)
+    if verbose:
+        evaluate_reconstruction("SAMPLE", best_mesh, data.target)
+    return result, data
+
+
+if __name__ == "__main__":
+    import argparse
+
+    p = argparse.ArgumentParser(description="Femur MH-ICP-proposal registration")
+    p.add_argument("--samples", type=int, default=10000)
+    p.add_argument("--components", type=int, default=50)
+    p.add_argument("--chains", type=int, default=1)
+    p.add_argument("--json", type=str, default=None)
+    args = p.parse_args()
+    run_icp_proposal_registration(
+        num_samples=args.samples,
+        model_components=args.components,
+        n_chains=args.chains,
+        json_path=args.json,
+    )

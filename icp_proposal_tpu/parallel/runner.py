@@ -1,0 +1,88 @@
+"""Pod-scale chain sharding over a device mesh.
+
+The reference's only parallelism is embarrassingly-parallel multi-chain
+execution on JVM threads (``RunMHRandomInitComparison.scala:66-86``,
+``StdIcp...scala:106-122``; SURVEY §2.4/§5.8).  TPU-native mapping:
+
+    chains = batch dim  →  vmap within a chip, shard_map over the mesh
+    collectives         →  only for pooled diagnostics (acceptance, R-hat/ESS
+                           moments) and final gathers — chains never
+                           communicate during stepping, so scaling is
+                           embarrassingly efficient by construction.
+
+Model/target arrays are replicated (they are MBs); chain state is sharded
+along the ``chains`` axis.  Works identically on a virtual
+``--xla_force_host_platform_device_count`` CPU mesh (tests, driver dryrun)
+and a real TPU slice (``jax.distributed`` initialization is the caller's
+responsibility on multi-host).
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax import shard_map
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from icp_proposal_tpu.sampling import mh
+
+
+class PooledStats(NamedTuple):
+    """Cross-chain pooled diagnostics, computed with psum collectives."""
+
+    acceptance: jax.Array  # [] pooled mean acceptance
+    coeff_mean: jax.Array  # [r] pooled posterior mean of coefficients
+    coeff_var: jax.Array  # [r] pooled posterior variance (between+within)
+    log_post_mean: jax.Array  # []
+
+
+def make_chain_mesh(devices=None, axis_name: str = "chains") -> Mesh:
+    import numpy as np
+
+    devices = devices if devices is not None else jax.devices()
+    return Mesh(np.asarray(devices), (axis_name,))
+
+
+def run_sharded_chains(step, carries, keys, n_steps: int, mesh: Mesh,
+                       axis_name: str = "chains", burn_in: int = 0):
+    """Run vmapped chains sharded over the mesh; returns (final carries,
+    records, PooledStats).  Per-shard: scan over steps inside one program;
+    diagnostics pooled with ``psum`` over the chain axis (rides ICI on a real
+    slice — SURVEY §5.8 north-star mapping)."""
+
+    n_chains = jax.tree.leaves(carries)[0].shape[0]
+
+    def shard_fn(carries, keys):
+        final, records = jax.vmap(
+            lambda c, k: mh.run_chain(step, c, k, n_steps)
+        )(carries, keys)
+
+        # pooled diagnostics over ALL chains (local mean + psum)
+        n_local = jnp.asarray(records.accepted.shape[0], jnp.float32)
+        n_total = jax.lax.psum(n_local, axis_name)
+        w = n_local / n_total
+
+        acc = jax.lax.psum(
+            w * jnp.mean(records.accepted[:, burn_in:].astype(jnp.float32)),
+            axis_name,
+        )
+        coeffs = final.state.coeffs  # [local_chains, r]
+        mean_local = jnp.mean(coeffs, axis=0)
+        mean = jax.lax.psum(w * mean_local, axis_name)
+        sq = jax.lax.psum(w * jnp.mean(coeffs * coeffs, axis=0), axis_name)
+        var = sq - mean * mean
+        lp = jax.lax.psum(w * jnp.mean(final.log_post), axis_name)
+        return final, records, PooledStats(acc, mean, var, lp)
+
+    spec = P(axis_name)
+    sharded = shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(spec, spec),
+        out_specs=(spec, spec, P()),
+        check_rep=False,
+    )
+    with mesh:
+        return jax.jit(sharded)(carries, keys)

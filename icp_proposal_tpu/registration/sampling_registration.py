@@ -1,0 +1,172 @@
+"""The probabilistic-registration chain driver.
+
+Equivalent of reference ``api/sampling/SamplingRegistration.scala:37-94``
+(``runfitting``): runs the MH chain, streams accept/reject records to the
+JSON log, reports acceptance statistics and current best-fit surface error at
+intervals, and returns the best (MAP-under-product) sample.
+
+TPU-native structure: the chain runs in jit-compiled *segments* (``lax.scan``
+over steps inside one device call, ``vmap`` over chains), with exactly one
+device→host transfer per segment for logging — the reference's per-step
+callbacks become batched ring-buffer drains (SURVEY §2.4 MH row).
+"""
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from icp_proposal_tpu.mesh import TriangleMesh
+from icp_proposal_tpu.registration.comparison import evaluate_reconstruction_boundary_aware
+from icp_proposal_tpu.sampling import loggers, mh
+from icp_proposal_tpu.sampling.evaluators import EvaluatorProgram
+from icp_proposal_tpu.sampling.proposals import MixtureProgram
+from icp_proposal_tpu.sampling.state import FitState, init_state, transformed_mesh
+
+
+@dataclass
+class FittingResult:
+    best_state: FitState
+    best_log_value: float
+    final_states: FitState  # batched over chains
+    json_records: list  # chain 0's records in reference schema
+    acceptance: dict
+    samples_per_sec: float
+    records: object = field(default=None, repr=False)  # full stacked ChainRecord
+
+
+class SamplingRegistration:
+    """Drives MH fitting for one model/target configuration."""
+
+    def __init__(
+        self,
+        gpmm,
+        target: TriangleMesh,
+        mixture: MixtureProgram,
+        evaluator: EvaluatorProgram,
+        accept_info_interval: int = 1000,
+        verbose: bool = True,
+    ):
+        self.gpmm = gpmm
+        self.target = target
+        self.mixture = mixture
+        self.evaluator = evaluator
+        self.accept_info_interval = accept_info_interval
+        self.verbose = verbose
+        self._step = mh.make_mh_step(gpmm, mixture, evaluator, store_params=True)
+
+    def runfitting(
+        self,
+        num_samples: int,
+        key=None,
+        initial_state: Optional[FitState] = None,
+        n_chains: int = 1,
+        json_path: Optional[str] = None,
+        segment_size: Optional[int] = None,
+    ) -> FittingResult:
+        key = key if key is not None else jax.random.PRNGKey(1024)
+        state0 = initial_state if initial_state is not None else init_state(self.gpmm)
+        if jax.tree.leaves(state0)[0].ndim == 0 or state0.coeffs.ndim == 1:
+            carry0 = mh.init_carry(self.gpmm, self.evaluator, state0)
+            carry0 = jax.tree.map(
+                lambda x: jnp.broadcast_to(x, (n_chains,) + x.shape), carry0
+            )
+        else:  # already batched initial states
+            carry0 = jax.vmap(lambda s: mh.init_carry(self.gpmm, self.evaluator, s))(
+                state0
+            )
+            n_chains = state0.coeffs.shape[0]
+
+        segment = segment_size or min(num_samples, self.accept_info_interval)
+        chain_keys = jax.random.split(key, n_chains)
+
+        all_records = []
+        json_records = []
+        t_start = time.time()
+        done = 0
+        carry = carry0
+        seg_idx = 0
+        while done < num_samples:
+            n = min(segment, num_samples - done)
+            seg_keys = jax.vmap(
+                lambda k: jax.random.fold_in(k, seg_idx)
+            )(chain_keys)
+            carry, records = mh.run_chains(self._step, carry, seg_keys, n)
+            records = jax.tree.map(np.asarray, records)
+            all_records.append(records)
+            json_records.extend(
+                loggers.records_to_json_list(
+                    jax.tree.map(lambda x: x[0], records),
+                    self.evaluator.named_keys,
+                    self.mixture.names,
+                    start_index=done,
+                )
+            )
+            done += n
+            seg_idx += 1
+            if self.verbose:
+                acc = loggers.acceptance_summary(
+                    jax.tree.map(lambda x: x[0], records), self.mixture.names
+                )
+                elapsed = time.time() - t_start
+                rate = done * n_chains / max(elapsed, 1e-9)
+                print(
+                    f"[{done}/{num_samples}] chains={n_chains} "
+                    f"accept={acc['overall']:.3f} samples/s={rate:.1f}"
+                )
+
+        elapsed = time.time() - t_start
+        records = jax.tree.map(
+            lambda *xs: np.concatenate(xs, axis=1), *all_records
+        )
+        if json_path is not None:
+            loggers.write_log(json_path, json_records)
+
+        # best sample (MAP under product) across ALL chains — the
+        # BestSampleLogger equivalent (reference :56-58, 91-92)
+        best_state, best_val = self._extract_best(records)
+        acceptance = loggers.acceptance_summary(
+            jax.tree.map(lambda x: x.reshape(-1, *x.shape[2:]), records),
+            self.mixture.names,
+        )
+        if self.verbose:
+            best_mesh = transformed_mesh(self.gpmm, best_state)
+            from icp_proposal_tpu.mesh import boundary_vertex_mask
+
+            gt_mask = jnp.asarray(
+                boundary_vertex_mask(
+                    np.asarray(self.target.cells), self.target.num_points
+                )
+            )
+            evaluate_reconstruction_boundary_aware(
+                "Sampling", best_mesh, self.target, gt_mask
+            )
+
+        return FittingResult(
+            best_state=best_state,
+            best_log_value=best_val,
+            final_states=carry.state,
+            json_records=json_records,
+            acceptance=acceptance,
+            samples_per_sec=done * n_chains / max(elapsed, 1e-9),
+            records=records,
+        )
+
+    def _extract_best(self, records):
+        acc = np.asarray(records.accepted)  # [C, T]
+        logv = np.where(acc, np.asarray(records.log_product), -np.inf)
+        c, t = np.unravel_index(np.argmax(logv), logv.shape)
+        coeffs = jnp.asarray(records.coeffs[c, t])
+        pose = np.asarray(records.pose[c, t])
+        state = FitState(
+            scale=jnp.asarray(1.0, jnp.float32),
+            trans=jnp.asarray(pose[0:3], jnp.float32),
+            rot=jnp.asarray(pose[3:6], jnp.float32),
+            center=jnp.asarray(pose[6:9], jnp.float32),
+            coeffs=coeffs,
+        )
+        return state, float(logv[c, t])

@@ -1,0 +1,174 @@
+"""End-to-end registration tests on the real femur assets + sharded runner,
+loggers, and diagnostics."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from icp_proposal_tpu.mesh import TriangleMesh, boundary_vertex_mask
+from icp_proposal_tpu.models import gpmm as gp
+from icp_proposal_tpu.models.synthetic import make_icosphere, make_synthetic_gpmm
+from icp_proposal_tpu.sampling import diagnostics, loggers, mh
+from icp_proposal_tpu.sampling.context import build_target_context
+from icp_proposal_tpu.sampling.evaluators import IndependentPointsSpec, build_evaluator
+from icp_proposal_tpu.sampling.proposals import (
+    IcpSpec,
+    MixtureProgram,
+    RandomShapeSpec,
+    nest,
+)
+from icp_proposal_tpu.sampling.state import init_state, transformed_mesh
+
+
+def test_femur_icp_proposal_short(femur_data, tmp_path):
+    """Flagship config, short chain: must fit the synthetic target well and
+    produce a reference-schema JSON log."""
+    from icp_proposal_tpu.apps.femur import make_icp_proposal_setup
+    from icp_proposal_tpu.ops.metrics import avg_distance
+    from icp_proposal_tpu.registration.sampling_registration import SamplingRegistration
+
+    ctx, mixture, evaluator = make_icp_proposal_setup(femur_data)
+    reg = SamplingRegistration(
+        femur_data.model, femur_data.target, mixture, evaluator, verbose=False
+    )
+    json_path = tmp_path / "chain.json"
+    res = reg.runfitting(300, n_chains=2, json_path=str(json_path))
+
+    best_mesh = transformed_mesh(femur_data.model, res.best_state)
+    avg = float(avg_distance(best_mesh, femur_data.target))
+    assert avg < 1.5, f"flagship fit too poor: avg={avg}"
+    assert 0.02 < res.acceptance["overall"] < 0.9
+
+    # log roundtrip + best-sample consistency
+    recs = loggers.load_log(json_path)
+    assert len(recs) == 300
+    assert set(recs[0]) == {
+        "index", "name", "logvalue", "status", "rigid", "coeff", "datetime",
+    }
+    assert set(recs[0]["logvalue"]) == {"product", "prior", "distance"}
+    accepted = [r for r in recs if r["status"]]
+    assert accepted, "no accepted records logged"
+    assert len(accepted[0]["rigid"]) == 9
+    assert len(accepted[0]["coeff"]) == femur_data.model.rank
+    rejected = [r for r in recs if not r["status"]]
+    if rejected:
+        assert rejected[0]["rigid"] == [] and rejected[0]["coeff"] == []
+
+    best = loggers.best_fitting_record(recs)
+    state = loggers.sample_to_state(best)
+    assert state.coeffs.shape == (femur_data.model.rank,)
+
+    thinned = loggers.samples_from_log(recs, take_every_n=20, burn_in=50)
+    assert all(r["status"] for r in thinned)
+
+
+def test_femur_deterministic_icp(femur_data):
+    """Deterministic ICP baseline (reference IcpRegistration) converges on the
+    synthetic target."""
+    from icp_proposal_tpu.ops.metrics import avg_distance
+    from icp_proposal_tpu.ops.surface_sampling import (
+        sample_points_on_surface,
+        seeded_vertex_subset,
+    )
+    from icp_proposal_tpu.registration.icp_fitting import icp_surface_fitting
+
+    model = femur_data.model
+    ctx = build_target_context(femur_data.target, femur_data.target_boundary_mask)
+    model_ids = jnp.asarray(seeded_vertex_subset(model.num_points, 300, seed=7))
+    target_pts = sample_points_on_surface(
+        jax.random.PRNGKey(7), femur_data.target, 300
+    )
+    coeffs = icp_surface_fitting(
+        model, ctx, model_ids, target_pts,
+        num_iterations=40, sigma_seq=(1e-15,), step_length=1.0,
+        projection_direction="model_and_target",
+    )
+    assert bool(jnp.all(jnp.isfinite(coeffs)))
+    fitted = TriangleMesh(points=gp.instance_points(model, coeffs), cells=model.cells)
+    avg = float(avg_distance(fitted, femur_data.target))
+    assert avg < 1.5, f"deterministic ICP fit too poor: avg={avg}"
+
+
+def test_sharded_runner_multichip():
+    """Chains sharded over the virtual 8-device CPU mesh with pooled psum
+    diagnostics — the multi-host execution model (SURVEY §5.8)."""
+    from icp_proposal_tpu.parallel.runner import make_chain_mesh, run_sharded_chains
+
+    assert len(jax.devices()) == 8, "conftest must provide 8 virtual devices"
+
+    points, cells = make_icosphere(subdivisions=1, radius=50.0)
+    model = make_synthetic_gpmm(points, cells, rank=4, sigma=40.0, scale=4.0)
+    alpha = jnp.zeros(4).at[0].set(1.0)
+    target = TriangleMesh(points=gp.instance_points(model, alpha), cells=model.cells)
+    ctx = build_target_context(target)
+    mixture = MixtureProgram(
+        nest(
+            (0.8, [(1.0, IcpSpec(direction="model", n_points=12, step_length=0.2))]),
+            (0.2, [(1.0, RandomShapeSpec(sigma=0.2))]),
+        ),
+        model, ctx,
+        jnp.asarray(boundary_vertex_mask(np.asarray(model.cells), model.num_points)),
+    )
+    evaluator = build_evaluator(
+        model, ctx,
+        [IndependentPointsSpec(sigma=1.0, mode="model_to_target", n_points=16)],
+    )
+    step = mh.make_mh_step(model, mixture, evaluator, store_params=False)
+
+    n_chains = 16
+    carry0 = mh.init_carry(model, evaluator, init_state(model))
+    carries = jax.tree.map(
+        lambda x: jnp.broadcast_to(x, (n_chains,) + x.shape), carry0
+    )
+    keys = jax.random.split(jax.random.PRNGKey(0), n_chains)
+    mesh = make_chain_mesh()
+    final, records, stats = run_sharded_chains(step, carries, keys, 50, mesh)
+
+    assert np.isfinite(float(stats.acceptance))
+    assert 0.0 <= float(stats.acceptance) <= 1.0
+    assert stats.coeff_mean.shape == (4,)
+    assert np.asarray(records.accepted).shape == (n_chains, 50)
+    # pooled mean must equal the plain mean over all chains
+    np.testing.assert_allclose(
+        np.asarray(stats.coeff_mean),
+        np.asarray(final.state.coeffs).mean(axis=0),
+        atol=1e-5,
+    )
+
+
+def test_graft_entry_compiles():
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __graft_entry__ as ge
+
+    fn, args = ge.entry()
+    out = jax.jit(fn)(*args)
+    jax.block_until_ready(out)
+
+    ge.dryrun_multichip(8)
+
+
+def test_rhat_ess_sanity():
+    key = jax.random.PRNGKey(0)
+    iid = jax.random.normal(key, (8, 500))
+    rhat = float(diagnostics.split_rhat(iid))
+    assert 0.98 < rhat < 1.05
+    e = float(diagnostics.ess(iid))
+    assert e > 1000  # iid: ESS ~ n
+
+    # a badly mixing setup: chains at different offsets
+    biased = iid + jnp.arange(8)[:, None] * 3.0
+    assert float(diagnostics.split_rhat(biased)) > 1.5
+
+
+def test_acceptance_summary_keys():
+    rec = mh.ChainRecord(
+        accepted=jnp.asarray([True, False, True, True]),
+        proposal_idx=jnp.asarray([0, 1, 0, 1]),
+        log_product=jnp.zeros(4),
+        named=jnp.zeros((4, 2)),
+    )
+    out = loggers.acceptance_summary(rec, ["a", "b"], window=2)
+    assert out["overall"] == 0.75
+    assert out["a"] == 1.0 and out["b"] == 0.5
