@@ -82,7 +82,7 @@ def run_sharded_chains(step, carries, keys, n_steps: int, mesh: Mesh,
         mesh=mesh,
         in_specs=(spec, spec),
         out_specs=(spec, spec, P()),
-        check_rep=False,
+        check_vma=False,
     )
     with mesh:
         return jax.jit(sharded)(carries, keys)
