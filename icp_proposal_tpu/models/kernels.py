@@ -97,7 +97,7 @@ class BSplineScalar:
         out = np.ones(np.broadcast(x[..., 0], y[..., 0]).shape)
         for d in range(x.shape[-1]):
             out = out * self._corr_1d(x[..., d], y[..., d])
-        return out * self.scale
+        return out
 
 
 class DiagonalKernel(MatrixKernel):

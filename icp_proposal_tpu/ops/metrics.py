@@ -38,6 +38,27 @@ def hausdorff_distance(mesh_a: TriangleMesh, mesh_b: TriangleMesh):
     return jnp.maximum(d_ab, d_ba)
 
 
+def dice_coefficient(mesh_a: TriangleMesh, mesh_b: TriangleMesh, key=None,
+                     n_samples: int = 20000):
+    """Volumetric Dice overlap 2·|A∩B| / (|A|+|B|), Monte-Carlo estimated with
+    winding-number inside tests over the joint bounding box (scalismo
+    voxelizes instead — ``MeshMetrics.diceCoefficient``; same quantity up to
+    discretization)."""
+    import jax
+
+    from icp_proposal_tpu.ops.inside import points_inside
+
+    key = key if key is not None else jax.random.PRNGKey(0)
+    lo = jnp.minimum(jnp.min(mesh_a.points, axis=0), jnp.min(mesh_b.points, axis=0))
+    hi = jnp.maximum(jnp.max(mesh_a.points, axis=0), jnp.max(mesh_b.points, axis=0))
+    pts = lo + (hi - lo) * jax.random.uniform(key, (n_samples, 3))
+    in_a = points_inside(pts, mesh_a.triangles())
+    in_b = points_inside(pts, mesh_b.triangles())
+    inter = jnp.sum(in_a & in_b)
+    total = jnp.sum(in_a) + jnp.sum(in_b)
+    return 2.0 * inter / jnp.maximum(total, 1)
+
+
 def avg_and_max_distance_boundary_aware(
     mesh_a: TriangleMesh, mesh_b: TriangleMesh, boundary_mask_b
 ):

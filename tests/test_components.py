@@ -1,0 +1,283 @@
+"""Tests for decimation, dice/winding, PLY, model builders, BFM family,
+posterior variability, replay, and the experiment harness."""
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from icp_proposal_tpu.mesh import TriangleMesh, boundary_vertex_mask, make_mesh
+from icp_proposal_tpu.models import gpmm as gp
+from icp_proposal_tpu.models.synthetic import (
+    make_icosphere,
+    make_open_patch,
+    make_synthetic_gpmm,
+)
+
+
+# ----------------------------------------------------------------- decimate
+
+def test_decimate_sphere():
+    from icp_proposal_tpu.ops.decimate import decimate
+
+    points, cells = make_icosphere(subdivisions=3, radius=50.0)  # 642 verts
+    new_pts, new_cells, kept = decimate(points, cells, 200)
+    assert len(new_pts) == 200
+    assert len(kept) == 200
+    np.testing.assert_allclose(new_pts, points[kept])  # vertex-subset property
+    # closed mesh stays closed
+    mask = boundary_vertex_mask(new_cells, len(new_pts))
+    assert not mask.any()
+    # decimated surface stays near the sphere
+    r = np.linalg.norm(new_pts, axis=1)
+    np.testing.assert_allclose(r, 50.0, atol=1.0)
+
+
+def test_decimate_gpmm():
+    from icp_proposal_tpu.ops.decimate import decimate_gpmm
+
+    points, cells = make_icosphere(subdivisions=2, radius=50.0)
+    model = make_synthetic_gpmm(points, cells, rank=5)
+    small, kept = decimate_gpmm(model, 80)
+    assert small.num_points == 80
+    assert small.rank == 5
+    # decimated decode == gather of full decode
+    alpha = jnp.ones(5) * 0.5
+    full = gp.instance_points(model, alpha)
+    sub = gp.instance_points(small, alpha)
+    np.testing.assert_allclose(np.asarray(sub), np.asarray(full)[kept], atol=1e-4)
+
+
+# ------------------------------------------------------------ winding/dice
+
+def test_winding_numbers_sphere():
+    from icp_proposal_tpu.ops.inside import winding_numbers
+
+    points, cells = make_icosphere(subdivisions=2, radius=1.0)
+    mesh = make_mesh(points, cells)
+    inside = jnp.asarray([[0.0, 0.0, 0.0], [0.3, -0.2, 0.1]])
+    outside = jnp.asarray([[2.0, 0.0, 0.0], [0.0, -1.5, 1.2]])
+    w_in = np.asarray(winding_numbers(inside, mesh.triangles()))
+    w_out = np.asarray(winding_numbers(outside, mesh.triangles()))
+    np.testing.assert_allclose(w_in, 1.0, atol=0.05)
+    np.testing.assert_allclose(w_out, 0.0, atol=0.05)
+
+
+def test_dice_coefficient():
+    from icp_proposal_tpu.ops.metrics import dice_coefficient
+
+    points, cells = make_icosphere(subdivisions=2, radius=1.0)
+    a = make_mesh(points, cells)
+    assert float(dice_coefficient(a, a)) > 0.97
+    b = make_mesh(points + np.array([2.5, 0, 0], np.float32), cells)
+    assert float(dice_coefficient(a, b)) < 0.05
+
+
+# ------------------------------------------------------------------- ply io
+
+def test_ply_roundtrip(tmp_path):
+    from icp_proposal_tpu.io.ply import read_ply, write_ply
+
+    points, cells = make_icosphere(subdivisions=1)
+    write_ply(tmp_path / "m.ply", points, cells)
+    p2, c2 = read_ply(tmp_path / "m.ply")
+    np.testing.assert_allclose(p2, points, atol=1e-5)
+    np.testing.assert_array_equal(c2, cells)
+
+
+# ------------------------------------------------------------ model builders
+
+def test_femur_builder_statistics():
+    """Build a small femur-kernel model on a decimated femur mesh; variance
+    must be positive/descending and capture a sensible fraction."""
+    from icp_proposal_tpu.io.stl import read_stl
+    from icp_proposal_tpu.models.build_femur import (
+        build_femur_gpmm,
+        femur_kernel,
+        variance_capture_ratio,
+    )
+    from icp_proposal_tpu.ops.decimate import decimate
+
+    points, cells = read_stl("/root/reference/data/femur/femur_reference.stl")
+    pts, cls, _ = decimate(points, cells, 400)
+    model = build_femur_gpmm(pts, cls, num_components=20)
+    var = np.asarray(model.variance)
+    assert model.rank == 21
+    assert (var > 0).all()
+    assert (np.diff(var) <= 1e-6).all()  # descending
+    ratio = variance_capture_ratio(femur_kernel(pts), pts, var)
+    assert 0.3 < ratio <= 1.2
+
+    # instance/coefficients roundtrip on the fresh model
+    alpha = jnp.asarray(np.random.RandomState(0).randn(model.rank), jnp.float32)
+    rec = gp.coefficients(model, gp.instance_points(model, alpha))
+    np.testing.assert_allclose(np.asarray(rec), np.asarray(alpha), atol=5e-2)
+
+
+def test_nystrom_self_consistency():
+    """Nyström with full basis on the sample points reproduces the kernel."""
+    from icp_proposal_tpu.models.kernels import DiagonalKernel, GaussianScalar
+    from icp_proposal_tpu.models.nystrom import kernel_matrix, nystrom_lowrank
+
+    rng = np.random.RandomState(0)
+    pts = rng.randn(30, 3) * 10
+    kernel = DiagonalKernel(GaussianScalar(15.0)) * 2.0
+    basis, variance = nystrom_lowrank(kernel, pts, pts, num_basis=90)
+    # reconstruct K at the sample points: K ≈ Φ diag(λ) Φᵀ
+    phi = np.asarray(basis, np.float64).reshape(90, 90)
+    k_rec = phi @ np.diag(variance) @ phi.T
+    k_true = kernel_matrix(kernel, pts, pts)
+    np.testing.assert_allclose(k_rec, k_true, atol=1e-6 * np.abs(k_true).max() + 1e-8)
+
+
+def test_bspline_kernel_properties():
+    from icp_proposal_tpu.models.kernels import BSplineScalar
+
+    k = BSplineScalar(j=0)
+    x = np.array([[0.3, 0.1, -0.2]])
+    # symmetry + positivity at coincident points
+    assert k(x, x) > 0
+    y = np.array([[0.5, 0.0, 0.1]])
+    np.testing.assert_allclose(k(x, y), k(y, x), atol=1e-12)
+    # compact support: far apart → 0
+    z = np.array([[10.0, 0.0, 0.0]])
+    np.testing.assert_allclose(k(x, z), 0.0, atol=1e-12)
+
+
+# ------------------------------------------------------------------ BFM path
+
+@pytest.fixture(scope="module")
+def bfm_synth():
+    from icp_proposal_tpu.apps.bfm import load_synthetic_face_data
+
+    return load_synthetic_face_data(rank=12, subdiv=2, seed=0)
+
+
+def test_partial_target_synthesis(bfm_synth):
+    data = bfm_synth
+    assert data.target_partial.num_points < data.target.num_points
+    assert data.partial_boundary_mask.any()  # occlusion creates boundary
+    # all partial vertices exist in the complete target
+    tset = {tuple(p) for p in np.asarray(data.target.points).round(5).tolist()}
+    pset = {tuple(p) for p in np.asarray(data.target_partial.points).round(5).tolist()}
+    assert pset.issubset(tset)
+
+
+def test_bfm_partial_fitting_short(bfm_synth):
+    """Partial-target fitting with the boundary-aware collective evaluator:
+    a short chain must improve the fit without diverging."""
+    from icp_proposal_tpu.apps.bfm import make_bfm_fitting_setup
+    from icp_proposal_tpu.ops.metrics import avg_distance
+    from icp_proposal_tpu.registration.sampling_registration import SamplingRegistration
+    from icp_proposal_tpu.sampling.state import transformed_mesh, init_state
+
+    data = bfm_synth
+    ctx, mixture, evaluator = make_bfm_fitting_setup(data, partial=True)
+    reg = SamplingRegistration(
+        data.model, data.target_partial, mixture, evaluator, verbose=False
+    )
+    res = reg.runfitting(300, n_chains=2)
+    best_mesh = transformed_mesh(data.model, res.best_state)
+    init_mesh = transformed_mesh(data.model, init_state(data.model))
+    d_best = float(avg_distance(best_mesh, data.target_partial))
+    d_init = float(avg_distance(init_mesh, data.target_partial))
+    assert np.isfinite(d_best)
+    assert d_best < d_init, f"no improvement: {d_best} vs {d_init}"
+    assert 0.01 < res.acceptance["overall"] <= 1.0
+
+
+# -------------------------------------------------- posterior analysis tools
+
+def test_posterior_variability_and_replay(tmp_path):
+    from icp_proposal_tpu.analysis.replay import posterior_analysis, replay_meshes
+    from icp_proposal_tpu.sampling import loggers, mh
+    from icp_proposal_tpu.sampling.context import build_target_context
+    from icp_proposal_tpu.sampling.evaluators import (
+        IndependentPointsSpec,
+        build_evaluator,
+    )
+    from icp_proposal_tpu.sampling.proposals import MixtureProgram, RandomShapeSpec
+    from icp_proposal_tpu.sampling.state import init_state
+
+    points, cells = make_icosphere(subdivisions=1, radius=50.0)
+    model = make_synthetic_gpmm(points, cells, rank=4)
+    target = TriangleMesh(
+        points=gp.instance_points(model, jnp.ones(4) * 0.5), cells=model.cells
+    )
+    ctx = build_target_context(target)
+    mixture = MixtureProgram(
+        [(1.0, RandomShapeSpec(sigma=0.3))], model, ctx,
+        jnp.asarray(boundary_vertex_mask(np.asarray(cells), len(points))),
+    )
+    evaluator = build_evaluator(
+        model, ctx, [IndependentPointsSpec(sigma=1.0, n_points=12)]
+    )
+    step = mh.make_mh_step(model, mixture, evaluator, store_params=True)
+    carry = mh.init_carry(model, evaluator, init_state(model))
+    _, records = mh.run_chain(step, carry, jax.random.PRNGKey(0), 600)
+
+    recs = loggers.records_to_json_list(
+        records, evaluator.named_keys, mixture.names
+    )
+    out = posterior_analysis(
+        model, recs, burn_in=100, take_every_n=20, out_dir=str(tmp_path)
+    )
+    assert out["num_samples"] > 5
+    assert out["variability_total"].shape == (model.num_points,)
+    assert (out["variability_total"] >= 0).all()
+    assert (out["variability_normal"] <= out["variability_total"] + 1e-5).all()
+    assert os.path.exists(tmp_path / "variability_total.ply")
+    assert os.path.exists(tmp_path / "map.stl")
+
+    meshes = replay_meshes(model, recs, stride=100)
+    assert len(meshes) == 6
+    assert meshes[0].shape == (model.num_points, 3)
+
+
+# --------------------------------------------------------------- experiments
+
+def test_experiment_logger_roundtrip(tmp_path):
+    from icp_proposal_tpu.io.experiment_log import ExperimentLogger
+
+    path = tmp_path / "experiments.json"
+    logger = ExperimentLogger(str(path), model_path="model.h5")
+    logger.append(
+        index=0, target_path="t.stl", coeff_init=[0.0, 1.0],
+        coeff_icp=[0.5, 0.5],
+        sampling_euclidean={"avg": 1.0, "hausdorff": 2.0, "dice": 0.9},
+        num_of_evaluation_points=100, num_of_sample_points=1000,
+        normal_noise=5.0,
+    )
+    logger.write_log()
+    loaded = logger.load_log()
+    assert len(loaded) == 1
+    assert loaded[0]["modelPath"] == "model.h5"
+    assert set(loaded[0]) >= {
+        "index", "modelPath", "targetPath", "coeffInit", "coeffIcp",
+        "samplingEuclidean", "samplingHausdorff", "icp", "datetime", "comment",
+    }
+
+
+def test_random_init_comparison_small():
+    """Mini version of RunMHRandomInitComparison on the sphere model: the
+    ICP chains must beat or match the RW chains on avg distance."""
+    from icp_proposal_tpu.apps.femur_experiments import run_random_init_comparison
+
+    points, cells = make_icosphere(subdivisions=2, radius=50.0)
+    model = make_synthetic_gpmm(points, cells, rank=6, sigma=40.0, scale=5.0)
+    alpha = jnp.zeros(6).at[0].set(1.2)
+    target = TriangleMesh(
+        points=gp.instance_points(model, alpha), cells=model.cells
+    )
+    mask = jnp.asarray(boundary_vertex_mask(np.asarray(cells), len(points)))
+    results = run_random_init_comparison(
+        model, target, mask, mask,
+        n_inits=3, n_icp_samples=150, rnd_multiplier=2,
+        n_icp_points=40, n_eval_points=60, verbose=False,
+    )
+    assert len(results) == 6
+    icp_avg = np.mean([r["avg"] for r in results if r["method"] == "icp"])
+    rnd_avg = np.mean([r["avg"] for r in results if r["method"] == "rnd"])
+    assert np.isfinite(icp_avg) and np.isfinite(rnd_avg)
+    assert icp_avg < rnd_avg * 1.5  # informed proposal at least competitive
