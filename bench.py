@@ -18,6 +18,9 @@ SCALA_SINGLE_CORE_BASELINE_EST = 25.0  # samples/s (see module docstring)
 
 
 def main():
+    import os
+    import sys
+
     import jax
     import jax.numpy as jnp
 
@@ -25,8 +28,18 @@ def main():
     from icp_proposal_tpu.sampling import mh
     from icp_proposal_tpu.sampling.state import init_state
 
-    n_chains = int(__import__("os").environ.get("BENCH_CHAINS", "128"))
-    n_steps = int(__import__("os").environ.get("BENCH_STEPS", "100"))
+    verbose = os.environ.get("BENCH_VERBOSE", "1") == "1"
+
+    def log(msg):
+        if verbose:
+            print(f"[bench] {msg}", file=sys.stderr, flush=True)
+
+    t = time.perf_counter()
+    log(f"devices: {jax.devices()}")
+    log(f"device init took {time.perf_counter() - t:.1f}s")
+
+    n_chains = int(os.environ.get("BENCH_CHAINS", "128"))
+    n_steps = int(os.environ.get("BENCH_STEPS", "100"))
 
     data = load_femur_data(model_components=100)
     ctx, mixture, evaluator = make_icp_proposal_setup(data)
@@ -43,8 +56,11 @@ def main():
     )
 
     # compile + warmup
+    t = time.perf_counter()
     final, records = run(carries, keys)
     jax.block_until_ready(final)
+    log(f"compile+first-run ({n_chains} chains x {n_steps} steps) took "
+        f"{time.perf_counter() - t:.1f}s")
 
     t0 = time.perf_counter()
     final, records = run(final, jax.vmap(lambda k: jax.random.fold_in(k, 1))(keys))

@@ -130,13 +130,36 @@ def surface_distances(queries, triangles):
     return jnp.min(d2, axis=1), face_idx
 
 
+def pallas_enabled() -> bool:
+    """Use the Pallas closest-point kernel?  Default: on TPU backends
+    (off-TPU the kernel only runs interpreted — fine for tests, slow).
+    Override with ICP_TPU_FORCE_PALLAS=1 / ICP_TPU_NO_PALLAS=1."""
+    import os
+
+    if os.environ.get("ICP_TPU_FORCE_PALLAS") == "1":
+        return True
+    if os.environ.get("ICP_TPU_NO_PALLAS") == "1":
+        return False
+    return jax.default_backend() == "tpu"
+
+
+def surface_distances_auto(queries, triangles):
+    """Dispatch to the Pallas streaming kernel on TPU, else the jnp brute
+    force.  Same contract as ``surface_distances``."""
+    if pallas_enabled():
+        from icp_proposal_tpu.ops.closest_point_pallas import surface_distances_pallas
+
+        return surface_distances_pallas(queries, triangles)
+    return surface_distances(queries, triangles)
+
+
 def closest_points_on_surface(queries, triangles):
     """Full closest-point query.
 
     queries : [P, 3]; triangles : [F, 3, 3]
     Returns (points [P,3], dist2 [P], face_idx [P]).
     """
-    dist2, face_idx = surface_distances(queries, triangles)
+    dist2, face_idx = surface_distances_auto(queries, triangles)
     tri = triangles[face_idx]  # [P, 3, 3]
     cp, _ = closest_point_on_triangle(queries, tri[:, 0], tri[:, 1], tri[:, 2])
     return cp, dist2, face_idx

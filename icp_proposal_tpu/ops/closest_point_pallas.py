@@ -1,0 +1,228 @@
+"""Pallas TPU kernel for batched point→surface distance queries.
+
+The hot op of the whole framework (SURVEY §3.1: closest-point queries are
+2 of the 4 per-step kernels).  The jnp brute force materializes a [P, F]
+(or [B, P, F] under vmap) distance buffer before the min-reduction; this
+kernel streams triangle tiles through VMEM with a running (min, argmin)
+accumulator, so HBM traffic is O(P + F) per query batch instead of O(P·F).
+
+Layout:
+    queries  [B, Pp, 3]  f32, Pp padded to a multiple of the P-tile (8)
+    tri_pack [9, Fp]     f32 SoA (ax ay az bx by bz cx cy cz), Fp padded to
+                         a multiple of 128 with far-away dummy triangles
+    grid     (B, Pp/TP, Fp/TF); the F axis is the minor (sequential) grid
+             axis, revisiting the [1, TP] output blocks with a predicated
+             min/argmin update.
+
+The point→triangle math is the same branchless Ericson region cascade as
+``closest_point.py``, in component (SoA) form on [TP, TF] tiles — pure VPU.
+Exposed through ``surface_distances_tpu`` with a ``custom_vmap`` rule so the
+chain samplers pick up the kernel transparently under ``vmap``.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+TP = 8  # query tile (sublanes)
+TF = 128  # triangle tile (lanes)
+_FAR = 1e9  # padding triangle coordinate
+
+
+def _dot3(a, b):
+    return a[0] * b[0] + a[1] * b[1] + a[2] * b[2]
+
+
+def _sub3(a, b):
+    return (a[0] - b[0], a[1] - b[1], a[2] - b[2])
+
+
+def _where3(c, a, b):
+    return tuple(jnp.where(c, x, y) for x, y in zip(a, b))
+
+
+def _safe_div(num, den):
+    return num / jnp.where(jnp.abs(den) < 1e-30, 1.0, den)
+
+
+def _tile_dist2(q, a, b, c):
+    """q, a, b, c: component triples broadcastable to [TP, TF] → d2 [TP, TF].
+
+    Branchless Ericson point-in-triangle region cascade (see
+    ``closest_point.closest_point_on_triangle``)."""
+    ab = _sub3(b, a)
+    ac = _sub3(c, a)
+    ap = _sub3(q, a)
+    bp = _sub3(q, b)
+    cp = _sub3(q, c)
+
+    d1 = _dot3(ab, ap)
+    d2_ = _dot3(ac, ap)
+    d3 = _dot3(ab, bp)
+    d4 = _dot3(ac, bp)
+    d5 = _dot3(ab, cp)
+    d6 = _dot3(ac, cp)
+
+    va = d3 * d6 - d5 * d4
+    vb = d5 * d2_ - d1 * d6
+    vc = d1 * d4 - d3 * d2_
+
+    denom = _safe_div(1.0, va + vb + vc)
+    v = vb * denom
+    w = vc * denom
+
+    in_bc = (va <= 0.0) & ((d4 - d3) >= 0.0) & ((d5 - d6) >= 0.0)
+    w_bc = _safe_div(d4 - d3, (d4 - d3) + (d5 - d6))
+    v = jnp.where(in_bc, 1.0 - w_bc, v)
+    w = jnp.where(in_bc, w_bc, w)
+
+    in_ac = (vb <= 0.0) & (d2_ >= 0.0) & (d6 <= 0.0)
+    w_ac = _safe_div(d2_, d2_ - d6)
+    v = jnp.where(in_ac, 0.0, v)
+    w = jnp.where(in_ac, w_ac, w)
+
+    in_ab = (vc <= 0.0) & (d1 >= 0.0) & (d3 <= 0.0)
+    v_ab = _safe_div(d1, d1 - d3)
+    v = jnp.where(in_ab, v_ab, v)
+    w = jnp.where(in_ab, 0.0, w)
+
+    in_c = (d6 >= 0.0) & (d5 <= d6)
+    v = jnp.where(in_c, 0.0, v)
+    w = jnp.where(in_c, 1.0, w)
+
+    in_b = (d3 >= 0.0) & (d4 <= d3)
+    v = jnp.where(in_b, 1.0, v)
+    w = jnp.where(in_b, 0.0, w)
+
+    in_a = (d1 <= 0.0) & (d2_ <= 0.0)
+    v = jnp.where(in_a, 0.0, v)
+    w = jnp.where(in_a, 0.0, w)
+
+    v = jnp.clip(v, 0.0, 1.0)
+    w = jnp.clip(w, 0.0, 1.0)
+    s = v + w
+    scale = jnp.where(s > 1.0, 1.0 / jnp.maximum(s, 1e-30), 1.0)
+    v = v * scale
+    w = w * scale
+
+    diff = tuple(qq - (aa + v * e1 + w * e2) for qq, aa, e1, e2 in zip(q, a, ab, ac))
+    return _dot3(diff, diff)
+
+
+def _make_kernel(tri_batched: bool):
+    def kernel(q_ref, tri_ref, min_ref, idx_ref):
+        f = pl.program_id(2)
+
+        q = tuple(q_ref[0, :, i][:, None] for i in range(3))  # [TP, 1] each
+        if tri_batched:
+            rows = [tri_ref[0, i, :][None, :] for i in range(9)]
+        else:
+            rows = [tri_ref[i, :][None, :] for i in range(9)]
+        a, b, c = tuple(rows[0:3]), tuple(rows[3:6]), tuple(rows[6:9])
+
+        d2 = _tile_dist2(q, a, b, c)  # [TP, TF]
+
+        chunk_min = jnp.min(d2, axis=1)  # [TP]
+        lane = jax.lax.broadcasted_iota(jnp.int32, (TP, TF), 1)
+        arg_lane = jnp.min(
+            jnp.where(d2 == chunk_min[:, None], lane, jnp.int32(2**30)), axis=1
+        )
+        chunk_idx = f * TF + arg_lane  # [TP]
+
+        @pl.when(f == 0)
+        def _():
+            min_ref[0, :] = chunk_min
+            idx_ref[0, :] = chunk_idx
+
+        @pl.when(f > 0)
+        def _():
+            prev = min_ref[0, :]
+            better = chunk_min < prev
+            min_ref[0, :] = jnp.where(better, chunk_min, prev)
+            idx_ref[0, :] = jnp.where(better, chunk_idx, idx_ref[0, :])
+
+    return kernel
+
+
+def pack_triangles(triangles) -> jax.Array:
+    """triangles [..., F, 3, 3] → padded SoA [..., 9, Fp] (cheap, jit-safe)."""
+    f = triangles.shape[-3]
+    fp = -(-f // TF) * TF
+    soa = jnp.swapaxes(triangles.reshape(*triangles.shape[:-3], f, 9), -1, -2)
+    pad = [(0, 0)] * (soa.ndim - 1) + [(0, fp - f)]
+    return jnp.pad(soa, pad, constant_values=_FAR)
+
+
+def _dist2_call(queries, tri_pack, interpret=False):
+    """queries [B, P, 3]; tri_pack [9, Fp] (shared) or [B, 9, Fp] (per-item)
+    → (d2 [B, P], idx [B, P])."""
+    bsz, p, _ = queries.shape
+    pp = -(-p // TP) * TP
+    fp = tri_pack.shape[-1]
+    qpad = jnp.pad(queries, ((0, 0), (0, pp - p), (0, 0)))
+    tri_batched = tri_pack.ndim == 3
+
+    if tri_batched:
+        tri_spec = pl.BlockSpec((1, 9, TF), lambda b, pt, f: (b, 0, f),
+                                memory_space=pltpu.VMEM)
+    else:
+        tri_spec = pl.BlockSpec((9, TF), lambda b, pt, f: (0, f),
+                                memory_space=pltpu.VMEM)
+
+    grid = (bsz, pp // TP, fp // TF)
+    d2, idx = pl.pallas_call(
+        _make_kernel(tri_batched),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, TP, 3), lambda b, pt, f: (b, pt, 0),
+                         memory_space=pltpu.VMEM),
+            tri_spec,
+        ],
+        out_specs=[
+            pl.BlockSpec((1, TP), lambda b, pt, f: (b, pt),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TP), lambda b, pt, f: (b, pt),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bsz, pp), jnp.float32),
+            jax.ShapeDtypeStruct((bsz, pp), jnp.int32),
+        ],
+        interpret=interpret,
+    )(qpad, tri_pack)
+    return d2[:, :p], idx[:, :p]
+
+
+def _surface_distances_pallas_core(queries, triangles, interpret):
+    """Unbatched core: queries [P,3], triangles [F,3,3]."""
+    tri_pack = pack_triangles(triangles)
+    d2, idx = _dist2_call(queries[None], tri_pack, interpret=interpret)
+    return d2[0], idx[0]
+
+
+@functools.partial(jax.custom_batching.custom_vmap)
+def surface_distances_pallas(queries, triangles):
+    """Pallas-backed drop-in for ``closest_point.surface_distances``:
+    (queries [P,3], triangles [F,3,3]) → (dist2 [P], face_idx [P]).
+
+    Under ``vmap`` the whole chain batch maps onto ONE kernel launch; the
+    triangle argument may be shared (static target) or batched (per-chain
+    current mesh).  Off-TPU the kernel runs in interpreter mode (tests).
+    """
+    interpret = jax.default_backend() != "tpu"
+    return _surface_distances_pallas_core(queries, triangles, interpret)
+
+
+@surface_distances_pallas.def_vmap
+def _surface_distances_pallas_vmap(axis_size, in_batched, queries, triangles):
+    q_batched, t_batched = in_batched
+    interpret = jax.default_backend() != "tpu"
+    if not q_batched:
+        queries = jnp.broadcast_to(queries, (axis_size,) + queries.shape)
+    tri_pack = pack_triangles(triangles)  # batched iff triangles batched
+    d2, idx = _dist2_call(queries, tri_pack, interpret=interpret)
+    return (d2, idx), (True, True)
