@@ -1,0 +1,92 @@
+"""Pod-scale sharded-chain run with pooled convergence diagnostics.
+
+The BASELINE config[4] workload: many chains (e.g. 1024) sharded over all
+devices of a (possibly multi-host) slice, with pooled R-hat/ESS/acceptance
+computed via collectives.  On a single host this runs over however many
+devices are present (incl. a virtual CPU mesh for validation).
+
+    python -m icp_proposal_tpu.apps.pod_chains --chains 1024 --steps 1000
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+
+def main():
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--chains", type=int, default=1024)
+    p.add_argument("--steps", type=int, default=1000)
+    p.add_argument("--components", type=int, default=100)
+    p.add_argument("--seed", type=int, default=1024)
+    p.add_argument("--init-variance", type=float, default=0.1)
+    args = p.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from icp_proposal_tpu.apps.femur import load_femur_data, make_icp_proposal_setup
+    from icp_proposal_tpu.apps.femur_experiments import initialise_shape_parameters
+    from icp_proposal_tpu.parallel.distributed import initialize_distributed
+    from icp_proposal_tpu.parallel.runner import make_chain_mesh, run_sharded_chains
+    from icp_proposal_tpu.sampling import diagnostics, mh
+    from icp_proposal_tpu.sampling.state import init_state
+
+    initialize_distributed()
+    devices = jax.devices()
+    n_dev = len(devices)
+    chains = (args.chains // n_dev) * n_dev or n_dev
+    print(f"devices={n_dev} chains={chains} steps={args.steps}")
+
+    data = load_femur_data(args.components)
+    ctx, mixture, evaluator = make_icp_proposal_setup(data)
+    step = mh.make_mh_step(data.model, mixture, evaluator, store_params=True)
+
+    key = jax.random.PRNGKey(args.seed)
+    states = [
+        init_state(
+            data.model,
+            coeffs=initialise_shape_parameters(
+                data.model.rank, i, key, args.init_variance
+            ),
+        )
+        for i in range(chains)
+    ]
+    states = jax.tree.map(lambda *xs: jnp.stack(xs), *states)
+    carries = jax.vmap(lambda s: mh.init_carry(data.model, evaluator, s))(states)
+    keys = jax.random.split(jax.random.fold_in(key, 7), chains)
+
+    mesh = make_chain_mesh(devices)
+    t0 = time.perf_counter()
+    final, records, stats = run_sharded_chains(
+        step, carries, keys, args.steps, mesh, burn_in=args.steps // 5
+    )
+    jax.block_until_ready(stats)
+    dt = time.perf_counter() - t0
+
+    # pooled R-hat / ESS over the coefficient traces (first 8 components)
+    coeff_trace = jnp.where(
+        records.accepted[..., None], records.coeffs, jnp.nan
+    )
+    # forward-fill is host-side; use accepted-only moments via final states +
+    # on-device split-rhat over the raw candidate traces of accepted steps
+    rhat = diagnostics.split_rhat(records.coeffs[:, args.steps // 5:, :8])
+    ess = diagnostics.ess(records.coeffs[:, args.steps // 5:, 0])
+
+    out = {
+        "devices": n_dev,
+        "chains": chains,
+        "steps": args.steps,
+        "samples_per_sec": chains * args.steps / dt,
+        "samples_per_sec_per_chip": chains * args.steps / dt / n_dev,
+        "pooled_acceptance": float(stats.acceptance),
+        "coeff_mean_norm": float(jnp.linalg.norm(stats.coeff_mean)),
+        "rhat_max_first8": float(jnp.max(rhat)),
+        "ess_coeff0": float(ess),
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -107,14 +107,43 @@ def vertex_normals(points: jax.Array, cells: jax.Array) -> jax.Array:
 
     Matches scalismo's ``vertexNormals`` semantics (average of incident cell
     normals; call site reference ``NonRigidIcpProposal.scala:100,121``).
-    Implemented as a ``segment_sum`` scatter over the face axis — batched and
-    fully parallel on the VPU.
+    Scatter-add formulation — prefer ``vertex_normals_gather`` with a
+    precomputed adjacency table in hot loops (scatters serialize on TPU).
     """
     fn = face_normals(points, cells, normalize=True)
     v = points.shape[0]
     acc = jnp.zeros((v, 3), dtype=points.dtype)
     for k in range(3):
         acc = acc.at[cells[:, k]].add(fn)
+    return acc / jnp.maximum(jnp.linalg.norm(acc, axis=-1, keepdims=True), 1e-20)
+
+
+def vertex_face_adjacency(cells, num_points: int):
+    """Host-side: padded vertex→face adjacency [V, D] int32 (D = max vertex
+    degree), padding index = F (a virtual zero-normal face).  Static topology
+    → computed once; turns per-step vertex-normal accumulation from a
+    scatter-add into gathers (TPU-friendly)."""
+    import numpy as np
+
+    cells_np = np.asarray(cells)
+    f = len(cells_np)
+    lists = [[] for _ in range(num_points)]
+    for fi, tri in enumerate(cells_np):
+        for vid in tri:
+            lists[vid].append(fi)
+    d = max((len(l) for l in lists), default=1)
+    adj = np.full((num_points, d), f, dtype=np.int32)
+    for vid, l in enumerate(lists):
+        adj[vid, : len(l)] = l
+    return adj
+
+
+def vertex_normals_gather(points: jax.Array, cells: jax.Array, adjacency) -> jax.Array:
+    """Gather-based vertex normals using a precomputed [V, D] adjacency
+    (see ``vertex_face_adjacency``).  Identical result to ``vertex_normals``."""
+    fn = face_normals(points, cells, normalize=True)  # [F, 3]
+    fn_pad = jnp.concatenate([fn, jnp.zeros((1, 3), fn.dtype)], axis=0)
+    acc = jnp.sum(fn_pad[adjacency], axis=1)  # [V, D, 3] → [V, 3]
     return acc / jnp.maximum(jnp.linalg.norm(acc, axis=-1, keepdims=True), 1e-20)
 
 

@@ -28,7 +28,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-TP = 8  # query tile (sublanes)
+TP = 128  # query tile (sublanes)
 TF = 128  # triangle tile (lanes)
 _FAR = 1e9  # padding triangle coordinate
 
@@ -113,37 +113,47 @@ def _tile_dist2(q, a, b, c):
     return _dot3(diff, diff)
 
 
-def _make_kernel(tri_batched: bool):
+def _make_kernel(tri_batched: bool, n_f_tiles: int):
+    """Grid is (B, P-tiles); the whole padded triangle SoA sits in VMEM and
+    the kernel loops F tiles sequentially with (min, argmin) accumulators
+    carried as vectors — one program does [TP, Fp] work, so program count
+    stays tiny (B · Pp/TP) and HBM sees each query/triangle once."""
+
     def kernel(q_ref, tri_ref, min_ref, idx_ref):
-        f = pl.program_id(2)
-
         q = tuple(q_ref[0, :, i][:, None] for i in range(3))  # [TP, 1] each
-        if tri_batched:
-            rows = [tri_ref[0, i, :][None, :] for i in range(9)]
-        else:
-            rows = [tri_ref[i, :][None, :] for i in range(9)]
-        a, b, c = tuple(rows[0:3]), tuple(rows[3:6]), tuple(rows[6:9])
 
-        d2 = _tile_dist2(q, a, b, c)  # [TP, TF]
+        def row(i, f):
+            if tri_batched:
+                return tri_ref[0, i, pl.ds(f * TF, TF)][None, :]
+            return tri_ref[i, pl.ds(f * TF, TF)][None, :]
 
-        chunk_min = jnp.min(d2, axis=1)  # [TP]
         lane = jax.lax.broadcasted_iota(jnp.int32, (TP, TF), 1)
-        arg_lane = jnp.min(
-            jnp.where(d2 == chunk_min[:, None], lane, jnp.int32(2**30)), axis=1
+
+        def body(f, carry):
+            run_min, run_idx = carry  # [TP, 1] f32 / i32
+            a = (row(0, f), row(1, f), row(2, f))
+            b = (row(3, f), row(4, f), row(5, f))
+            c = (row(6, f), row(7, f), row(8, f))
+            d2 = _tile_dist2(q, a, b, c)  # [TP, TF]
+            chunk_min = jnp.min(d2, axis=1, keepdims=True)  # [TP, 1]
+            arg_lane = jnp.min(
+                jnp.where(d2 == chunk_min, lane, jnp.int32(2**30)),
+                axis=1, keepdims=True,
+            )
+            chunk_idx = f * TF + arg_lane
+            better = chunk_min < run_min
+            return (
+                jnp.where(better, chunk_min, run_min),
+                jnp.where(better, chunk_idx, run_idx),
+            )
+
+        init = (
+            jnp.full((TP, 1), jnp.inf, jnp.float32),
+            jnp.zeros((TP, 1), jnp.int32),
         )
-        chunk_idx = f * TF + arg_lane  # [TP]
-
-        @pl.when(f == 0)
-        def _():
-            min_ref[0, :] = chunk_min
-            idx_ref[0, :] = chunk_idx
-
-        @pl.when(f > 0)
-        def _():
-            prev = min_ref[0, :]
-            better = chunk_min < prev
-            min_ref[0, :] = jnp.where(better, chunk_min, prev)
-            idx_ref[0, :] = jnp.where(better, chunk_idx, idx_ref[0, :])
+        run_min, run_idx = jax.lax.fori_loop(0, n_f_tiles, body, init)
+        min_ref[0, 0, :, :] = run_min
+        idx_ref[0, 0, :, :] = run_idx
 
     return kernel
 
@@ -167,34 +177,37 @@ def _dist2_call(queries, tri_pack, interpret=False):
     tri_batched = tri_pack.ndim == 3
 
     if tri_batched:
-        tri_spec = pl.BlockSpec((1, 9, TF), lambda b, pt, f: (b, 0, f),
+        tri_spec = pl.BlockSpec((1, 9, fp), lambda b, pt: (b, 0, 0),
                                 memory_space=pltpu.VMEM)
     else:
-        tri_spec = pl.BlockSpec((9, TF), lambda b, pt, f: (0, f),
+        tri_spec = pl.BlockSpec((9, fp), lambda b, pt: (0, 0),
                                 memory_space=pltpu.VMEM)
 
-    grid = (bsz, pp // TP, fp // TF)
+    grid = (bsz, pp // TP)
     d2, idx = pl.pallas_call(
-        _make_kernel(tri_batched),
+        _make_kernel(tri_batched, fp // TF),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, TP, 3), lambda b, pt, f: (b, pt, 0),
+            pl.BlockSpec((1, TP, 3), lambda b, pt: (b, pt, 0),
                          memory_space=pltpu.VMEM),
             tri_spec,
         ],
         out_specs=[
-            pl.BlockSpec((1, TP), lambda b, pt, f: (b, pt),
+            pl.BlockSpec((1, 1, TP, 1), lambda b, pt: (b, pt, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, TP), lambda b, pt, f: (b, pt),
+            pl.BlockSpec((1, 1, TP, 1), lambda b, pt: (b, pt, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((bsz, pp), jnp.float32),
-            jax.ShapeDtypeStruct((bsz, pp), jnp.int32),
+            jax.ShapeDtypeStruct((bsz, pp // TP, TP, 1), jnp.float32),
+            jax.ShapeDtypeStruct((bsz, pp // TP, TP, 1), jnp.int32),
         ],
         interpret=interpret,
     )(qpad, tri_pack)
-    return d2[:, :p], idx[:, :p]
+    return (
+        d2.reshape(bsz, pp)[:, :p],
+        idx.reshape(bsz, pp)[:, :p],
+    )
 
 
 def _surface_distances_pallas_core(queries, triangles, interpret):

@@ -22,7 +22,7 @@ from typing import NamedTuple, Optional
 import jax
 import jax.numpy as jnp
 
-from icp_proposal_tpu.mesh import vertex_normals
+from icp_proposal_tpu.mesh import vertex_face_adjacency, vertex_normals_gather
 from icp_proposal_tpu.sampling.evaluators import EvaluatorProgram
 from icp_proposal_tpu.sampling.proposals import MixtureProgram
 from icp_proposal_tpu.sampling.state import FitState, transformed_points
@@ -56,6 +56,16 @@ def make_mh_step(gpmm, mixture: MixtureProgram, evaluator: EvaluatorProgram,
     """Build the jitted MH step function for a fixed configuration."""
 
     needs_normals = mixture.needs_normals()
+    # static vertex→face adjacency: turns per-step normal accumulation into
+    # gathers (scatter-adds serialize on TPU)
+    adjacency = (
+        jnp.asarray(vertex_face_adjacency(gpmm.cells, gpmm.num_points))
+        if needs_normals
+        else None
+    )
+
+    def normals_of(points):
+        return vertex_normals_gather(points, gpmm.cells, adjacency)
 
     def step(carry: MhCarry, key) -> tuple[MhCarry, ChainRecord]:
         state = carry.state
@@ -63,9 +73,7 @@ def make_mh_step(gpmm, mixture: MixtureProgram, evaluator: EvaluatorProgram,
 
         # ---- decode current state once; anchor ICP factors at it ----------
         cur_pts = transformed_points(gpmm, state)
-        cur_normals = (
-            vertex_normals(cur_pts, gpmm.cells) if needs_normals else None
-        )
+        cur_normals = normals_of(cur_pts) if needs_normals else None
         factors_cur = mixture.anchor_factors(state, cur_pts, cur_normals)
 
         # ---- dense candidate generation + categorical selection ------------
@@ -77,7 +85,7 @@ def make_mh_step(gpmm, mixture: MixtureProgram, evaluator: EvaluatorProgram,
         # ---- reverse anchor + densities -----------------------------------
         cand_pts = transformed_points(gpmm, cand)
         cand_normals = (
-            vertex_normals(cand_pts, gpmm.cells) if needs_normals else None
+            normals_of(cand_pts) if needs_normals else None
         )
         factors_cand = mixture.anchor_factors(cand, cand_pts, cand_normals)
 

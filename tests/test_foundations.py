@@ -290,3 +290,22 @@ def test_transition_logpdf_consistency(femur_model50, rng):
     np.testing.assert_allclose(
         got_ref, expected - 0.5 * np.linalg.slogdet(m)[1], rtol=1e-4, atol=0.05
     )
+
+
+def test_vertex_normals_gather_matches_scatter(femur_model50):
+    from icp_proposal_tpu.mesh import (
+        vertex_face_adjacency,
+        vertex_normals,
+        vertex_normals_gather,
+    )
+
+    adj = vertex_face_adjacency(
+        np.asarray(femur_model50.cells), femur_model50.num_points
+    )
+    n_scatter = vertex_normals(femur_model50.ref_points, femur_model50.cells)
+    n_gather = vertex_normals_gather(
+        femur_model50.ref_points, femur_model50.cells, jnp.asarray(adj)
+    )
+    np.testing.assert_allclose(
+        np.asarray(n_gather), np.asarray(n_scatter), atol=1e-5
+    )
