@@ -168,9 +168,13 @@ def closest_points_on_surface(queries, triangles):
 def nearest_vertices(queries, points):
     """Nearest-vertex ids: queries [P,3] vs points [V,3] → ids [P].
 
-    Replaces scalismo's KD-tree ``findClosestPoint`` with a dense [P, V]
-    min-reduction (tiny at reference scales, fully vectorized on TPU).
+    Replaces scalismo's KD-tree ``findClosestPoint``.  Dispatches to the
+    Pallas streaming kernel on TPU; dense [P, V] min-reduction elsewhere.
     """
+    if pallas_enabled():
+        from icp_proposal_tpu.ops.closest_point_pallas import nearest_vertices_pallas
+
+        return nearest_vertices_pallas(queries, points)
     d2 = jnp.sum(
         (queries[:, None, :] - points[None, :, :]) ** 2, axis=-1
     )  # [P, V]

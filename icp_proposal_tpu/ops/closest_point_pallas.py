@@ -239,3 +239,103 @@ def _surface_distances_pallas_vmap(axis_size, in_batched, queries, triangles):
     tri_pack = pack_triangles(triangles)  # batched iff triangles batched
     d2, idx = _dist2_call(queries, tri_pack, interpret=interpret)
     return (d2, idx), (True, True)
+
+
+# ---------------------------------------------------------------------------
+# nearest-vertex kernel (point→point argmin; the findClosestPoint analog)
+# ---------------------------------------------------------------------------
+
+def _make_nv_kernel(pts_batched: bool, n_tiles: int):
+    def kernel(q_ref, v_ref, idx_ref):
+        q = tuple(q_ref[0, :, i][:, None] for i in range(3))  # [TP, 1]
+
+        def row(i, t):
+            if pts_batched:
+                return v_ref[0, i, pl.ds(t * TF, TF)][None, :]
+            return v_ref[i, pl.ds(t * TF, TF)][None, :]
+
+        lane = jax.lax.broadcasted_iota(jnp.int32, (TP, TF), 1)
+
+        def body(t, carry):
+            run_min, run_idx = carry
+            dx = q[0] - row(0, t)
+            dy = q[1] - row(1, t)
+            dz = q[2] - row(2, t)
+            d2 = dx * dx + dy * dy + dz * dz  # [TP, TF]
+            chunk_min = jnp.min(d2, axis=1, keepdims=True)
+            arg = jnp.min(
+                jnp.where(d2 == chunk_min, lane, jnp.int32(2**30)),
+                axis=1, keepdims=True,
+            )
+            chunk_idx = t * TF + arg
+            better = chunk_min < run_min
+            return (
+                jnp.where(better, chunk_min, run_min),
+                jnp.where(better, chunk_idx, run_idx),
+            )
+
+        init = (
+            jnp.full((TP, 1), jnp.inf, jnp.float32),
+            jnp.zeros((TP, 1), jnp.int32),
+        )
+        _, run_idx = jax.lax.fori_loop(0, n_tiles, body, init)
+        idx_ref[0, 0, :, :] = run_idx
+
+    return kernel
+
+
+def pack_points(points) -> jax.Array:
+    """points [..., V, 3] → padded SoA [..., 3, Vp]."""
+    v = points.shape[-2]
+    vp = -(-v // TF) * TF
+    soa = jnp.swapaxes(points, -1, -2)  # [..., 3, V]
+    pad = [(0, 0)] * (soa.ndim - 1) + [(0, vp - v)]
+    return jnp.pad(soa, pad, constant_values=_FAR)
+
+
+def _nv_call(queries, pts_pack, interpret=False):
+    bsz, p, _ = queries.shape
+    pp = -(-p // TP) * TP
+    vp = pts_pack.shape[-1]
+    qpad = jnp.pad(queries, ((0, 0), (0, pp - p), (0, 0)))
+    pts_batched = pts_pack.ndim == 3
+
+    if pts_batched:
+        pts_spec = pl.BlockSpec((1, 3, vp), lambda b, pt: (b, 0, 0),
+                                memory_space=pltpu.VMEM)
+    else:
+        pts_spec = pl.BlockSpec((3, vp), lambda b, pt: (0, 0),
+                                memory_space=pltpu.VMEM)
+
+    idx = pl.pallas_call(
+        _make_nv_kernel(pts_batched, vp // TF),
+        grid=(bsz, pp // TP),
+        in_specs=[
+            pl.BlockSpec((1, TP, 3), lambda b, pt: (b, pt, 0),
+                         memory_space=pltpu.VMEM),
+            pts_spec,
+        ],
+        out_specs=pl.BlockSpec((1, 1, TP, 1), lambda b, pt: (b, pt, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((bsz, pp // TP, TP, 1), jnp.int32),
+        interpret=interpret,
+    )(qpad, pts_pack)
+    return idx.reshape(bsz, pp)[:, :p]
+
+
+@functools.partial(jax.custom_batching.custom_vmap)
+def nearest_vertices_pallas(queries, points):
+    """Pallas-backed drop-in for ``closest_point.nearest_vertices``:
+    (queries [P,3], points [V,3]) → ids [P]."""
+    interpret = jax.default_backend() != "tpu"
+    return _nv_call(queries[None], pack_points(points), interpret=interpret)[0]
+
+
+@nearest_vertices_pallas.def_vmap
+def _nearest_vertices_pallas_vmap(axis_size, in_batched, queries, points):
+    q_batched, p_batched = in_batched
+    interpret = jax.default_backend() != "tpu"
+    if not q_batched:
+        queries = jnp.broadcast_to(queries, (axis_size,) + queries.shape)
+    idx = _nv_call(queries, pack_points(points), interpret=interpret)
+    return idx, True

@@ -63,3 +63,34 @@ def test_auto_dispatch_forced(sphere, rng, monkeypatch):
     d2_auto, _ = closest_point.surface_distances_auto(queries, sphere)
     d2_ref, _ = surface_distances(queries, sphere)
     np.testing.assert_allclose(np.asarray(d2_auto), np.asarray(d2_ref), rtol=1e-5, atol=1e-5)
+
+
+def test_nearest_vertices_pallas(sphere, rng):
+    from icp_proposal_tpu.ops.closest_point_pallas import nearest_vertices_pallas
+
+    pts = jnp.asarray(np.asarray(sphere)[:, 0, :])  # vertex cloud
+    queries = jnp.asarray(rng.randn(21, 3) * 12, jnp.float32)
+    ids_pal = nearest_vertices_pallas(queries, pts)
+    d2 = jnp.sum((queries[:, None] - pts[None]) ** 2, axis=-1)
+    ids_ref = jnp.argmin(d2, axis=1)
+    # distances must match (ids may differ on exact ties)
+    d_pal = d2[jnp.arange(21), ids_pal]
+    d_ref = d2[jnp.arange(21), ids_ref]
+    np.testing.assert_allclose(np.asarray(d_pal), np.asarray(d_ref), rtol=1e-6)
+
+    # vmapped, batched queries over shared points
+    qb = jnp.asarray(rng.randn(3, 10, 3) * 12, jnp.float32)
+    ids_b = jax.vmap(lambda q: nearest_vertices_pallas(q, pts))(qb)
+    assert ids_b.shape == (3, 10)
+
+    # vmapped with batched points (current-mesh case)
+    ptsb = jnp.stack([pts, pts + 0.5])
+    qb2 = jnp.asarray(rng.randn(2, 10, 3) * 12, jnp.float32)
+    ids_b2 = jax.vmap(nearest_vertices_pallas)(qb2, ptsb)
+    for i in range(2):
+        d2i = jnp.sum((qb2[i][:, None] - ptsb[i][None]) ** 2, axis=-1)
+        np.testing.assert_allclose(
+            np.asarray(d2i[jnp.arange(10), ids_b2[i]]),
+            np.asarray(jnp.min(d2i, axis=1)),
+            rtol=1e-6,
+        )
