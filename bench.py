@@ -45,7 +45,7 @@ def main():
     ctx, mixture, evaluator = make_icp_proposal_setup(data)
     step = mh.make_mh_step(data.model, mixture, evaluator, store_params=False)
 
-    carry0 = mh.init_carry(data.model, evaluator, init_state(data.model))
+    carry0 = mh.init_carry(data.model, evaluator, init_state(data.model), mixture)
     carries = jax.tree.map(
         lambda x: jnp.broadcast_to(x, (n_chains,) + x.shape), carry0
     )

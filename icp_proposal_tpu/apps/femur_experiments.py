@@ -40,6 +40,26 @@ from icp_proposal_tpu.sampling.proposals import (
 from icp_proposal_tpu.sampling.state import FitState, init_state, transformed_mesh
 
 
+def generate_model_samples(model, n: int, out_dir: str, variance: float = 0.1,
+                           seed: int = 1024):
+    """Write n random model-instance meshes to ``out_dir/{i}.stl`` — the
+    ``modelsamples`` assets that ``RunMHRandomInitComparison.scala:71-72``
+    reads for its random initializations (index 0 = mean shape)."""
+    import os
+
+    from icp_proposal_tpu.io.stl import write_stl
+    from icp_proposal_tpu.models.gpmm import instance_points
+
+    os.makedirs(out_dir, exist_ok=True)
+    key = jax.random.PRNGKey(seed)
+    cells = np.asarray(model.cells)
+    for i in range(n):
+        coeffs = initialise_shape_parameters(model.rank, i, key, variance)
+        pts = np.asarray(instance_points(model, coeffs))
+        write_stl(os.path.join(out_dir, f"{i}.stl"), pts, cells)
+    return out_dir
+
+
 def initialise_shape_parameters(rank: int, index: int, key, variance: float = 0.1):
     """Random init coefficients: index 0 → zeros, else ~ N(0, variance·I)
     (reference ``RandomSamplesFromModel.scala:28-36``)."""
@@ -62,7 +82,7 @@ def _batched_init_states(model, n_inits: int, key, variance: float = 0.1) -> Fit
 
 def _run_batch(model, mixture, evaluator, init_states: FitState, n_steps: int, key):
     step = mh.make_mh_step(model, mixture, evaluator, store_params=True)
-    carries = jax.vmap(lambda s: mh.init_carry(model, evaluator, s))(init_states)
+    carries = jax.vmap(lambda s: mh.init_carry(model, evaluator, s, mixture))(init_states)
     n = init_states.coeffs.shape[0]
     keys = jax.random.split(key, n)
     final, records = mh.run_chains(step, carries, keys, n_steps)

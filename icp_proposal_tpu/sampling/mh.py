@@ -32,6 +32,13 @@ class MhCarry(NamedTuple):
     state: FitState
     log_post: jax.Array  # [] cached product-evaluator value
     named: jax.Array  # [k] cached named evaluator values
+    # GP-posterior factors anchored at the CURRENT state, one per ICP mixture
+    # component (ordered tuple).  Invariant: these always equal
+    # anchor_factors(state).  On accept the candidate's factors roll in, on
+    # reject the previous ones persist — so each step computes factors only
+    # at the candidate (the reference pays its LRU cache for the same
+    # saving, ``NonRigidIcpProposal.scala:49``).
+    icp_factors: tuple = ()
 
 
 class ChainRecord(NamedTuple):
@@ -67,14 +74,15 @@ def make_mh_step(gpmm, mixture: MixtureProgram, evaluator: EvaluatorProgram,
     def normals_of(points):
         return vertex_normals_gather(points, gpmm.cells, adjacency)
 
+    icp_idx = sorted(mixture.icp_components)
+
     def step(carry: MhCarry, key) -> tuple[MhCarry, ChainRecord]:
         state = carry.state
         k_prop, k_sel, k_acc = jax.random.split(key, 3)
 
-        # ---- decode current state once; anchor ICP factors at it ----------
-        cur_pts = transformed_points(gpmm, state)
-        cur_normals = normals_of(cur_pts) if needs_normals else None
-        factors_cur = mixture.anchor_factors(state, cur_pts, cur_normals)
+        # ---- forward-anchor factors come from the carry (invariant: they
+        # equal anchor_factors(state)); no current-state decode needed -------
+        factors_cur = dict(zip(icp_idx, carry.icp_factors))
 
         # ---- dense candidate generation + categorical selection ------------
         candidates = mixture.propose_all(k_prop, state, factors_cur)
@@ -102,10 +110,19 @@ def make_mh_step(gpmm, mixture: MixtureProgram, evaluator: EvaluatorProgram,
         new_state: FitState = jax.tree.map(
             lambda c, s: jnp.where(accept, c, s), cand, state
         )
+        new_factors = tuple(
+            jax.tree.map(
+                lambda fc, fp: jnp.where(accept, fc, fp),
+                factors_cand[i],
+                factors_cur[i],
+            )
+            for i in icp_idx
+        )
         new_carry = MhCarry(
             state=new_state,
             log_post=jnp.where(accept, log_post_cand, carry.log_post),
             named=jnp.where(accept, named_cand, carry.named),
+            icp_factors=new_factors,
         )
         record = ChainRecord(
             accepted=accept,
@@ -124,10 +141,22 @@ def make_mh_step(gpmm, mixture: MixtureProgram, evaluator: EvaluatorProgram,
     return step
 
 
-def init_carry(gpmm, evaluator: EvaluatorProgram, state: FitState) -> MhCarry:
+def init_carry(gpmm, evaluator: EvaluatorProgram, state: FitState,
+               mixture: Optional[MixtureProgram] = None) -> MhCarry:
+    """Build the initial carry: evaluator values + (if the mixture has ICP
+    components) the GP-posterior factors anchored at the initial state."""
     pts = transformed_points(gpmm, state)
     log_post, named = evaluator(state, pts)
-    return MhCarry(state=state, log_post=log_post, named=named)
+    factors = ()
+    if mixture is not None and mixture.icp_components:
+        normals = vertex_normals_gather(
+            pts, gpmm.cells,
+            jnp.asarray(vertex_face_adjacency(gpmm.cells, gpmm.num_points)),
+        )
+        fac = mixture.anchor_factors(state, pts, normals)
+        factors = tuple(fac[i] for i in sorted(fac))
+    return MhCarry(state=state, log_post=log_post, named=named,
+                   icp_factors=factors)
 
 
 @partial(jax.jit, static_argnames=("step", "n_steps"))

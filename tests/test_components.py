@@ -214,7 +214,7 @@ def test_posterior_variability_and_replay(tmp_path):
         model, ctx, [IndependentPointsSpec(sigma=1.0, n_points=12)]
     )
     step = mh.make_mh_step(model, mixture, evaluator, store_params=True)
-    carry = mh.init_carry(model, evaluator, init_state(model))
+    carry = mh.init_carry(model, evaluator, init_state(model), mixture)
     _, records = mh.run_chain(step, carry, jax.random.PRNGKey(0), 600)
 
     recs = loggers.records_to_json_list(

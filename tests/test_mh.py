@@ -55,7 +55,7 @@ def _model_boundary(model):
 
 def _run(model, mixture, evaluator, n_chains, n_steps, seed=0, coeffs0=None):
     state0 = init_state(model, coeffs=coeffs0)
-    carry0 = mh.init_carry(model, evaluator, state0)
+    carry0 = mh.init_carry(model, evaluator, state0, mixture)
     carries = jax.tree.map(
         lambda x: jnp.broadcast_to(x, (n_chains,) + x.shape), carry0
     )
@@ -212,3 +212,70 @@ def test_pose_proposal_guards(sphere_model, sphere_target):
     # must still be finite
     lq_same = float(mixture.log_q_mixture(s0, s0, {}))
     assert np.isfinite(lq_same)
+
+
+def test_pose_and_shape_chain_recovers_translation(sphere_model):
+    """BFM-style mixture (pose + ICP + shape) must recover a rigid offset of
+    the target: the pose block should absorb most of the translation."""
+    t_true = jnp.asarray([2.0, -1.5, 1.0])
+    target_pts = gp.instance_points(sphere_model, jnp.zeros(RANK)) + t_true
+    target = TriangleMesh(points=target_pts, cells=sphere_model.cells)
+    ctx = build_target_context(target)
+    mixture = MixtureProgram(
+        nest(
+            (0.5, [
+                (1.0, TranslationSpec(axis=0, sigma=0.3)),
+                (1.0, TranslationSpec(axis=1, sigma=0.3)),
+                (1.0, TranslationSpec(axis=2, sigma=0.3)),
+                (1.0, RotationSpec(axis=0, sigma=0.02)),
+                (1.0, RotationSpec(axis=1, sigma=0.02)),
+                (1.0, RotationSpec(axis=2, sigma=0.02)),
+            ]),
+            (0.45, [(1.0, IcpSpec(direction="model", n_points=40, step_length=0.3,
+                                  noise_along_normal=2.0, tangential_noise=4.0))]),
+            (0.05, [(1.0, RandomShapeSpec(sigma=0.1))]),
+        ),
+        sphere_model, ctx, _model_boundary(sphere_model),
+    )
+    evaluator = build_evaluator(
+        sphere_model, ctx,
+        [IndependentPointsSpec(sigma=0.3, mode="model_to_target", n_points=60)],
+    )
+    final, records = _run(sphere_model, mixture, evaluator, n_chains=4, n_steps=800)
+    # the fitted surface must match the translated target
+    from icp_proposal_tpu.ops.metrics import avg_distance
+    from icp_proposal_tpu.sampling.state import transformed_mesh
+
+    states = jax.tree.map(lambda x: x[0], final.state)
+    fitted = transformed_mesh(sphere_model, states)
+    avg = float(avg_distance(fitted, target))
+    assert avg < 0.8, f"pose+shape chain failed to fit: avg={avg}"
+    # translation must do real work (not all absorbed by shape)
+    assert np.linalg.norm(np.asarray(states.trans)) > 0.8
+
+
+def test_parity_mode_matches_reference_density(sphere_model, sphere_target):
+    """parity=True must drop exactly the ½·logdet M and r·log(step) terms."""
+    target, _ = sphere_target
+    ctx = build_target_context(target)
+    spec = IcpSpec(direction="model", n_points=40, step_length=0.25)
+    mix_exact = MixtureProgram([(1.0, spec)], sphere_model, ctx,
+                               _model_boundary(sphere_model), parity=False)
+    mix_parity = MixtureProgram([(1.0, spec)], sphere_model, ctx,
+                                _model_boundary(sphere_model), parity=True)
+
+    from icp_proposal_tpu.mesh import vertex_face_adjacency, vertex_normals_gather
+    from icp_proposal_tpu.sampling.state import transformed_points
+
+    s0 = init_state(sphere_model)
+    s1 = s0._replace(coeffs=s0.coeffs + 0.1)
+    pts = transformed_points(sphere_model, s0)
+    adj = jnp.asarray(vertex_face_adjacency(
+        np.asarray(sphere_model.cells), sphere_model.num_points))
+    normals = vertex_normals_gather(pts, sphere_model.cells, adj)
+
+    f_exact = mix_exact.anchor_factors(s0, pts, normals)
+    lq_exact = float(mix_exact.log_q_mixture(s0, s1, f_exact))
+    lq_parity = float(mix_parity.log_q_mixture(s0, s1, f_exact))
+    expected_gap = 0.5 * float(f_exact[0].logdet_m) - RANK * np.log(0.25)
+    np.testing.assert_allclose(lq_exact - lq_parity, expected_gap, rtol=1e-4)

@@ -116,7 +116,7 @@ def test_sharded_runner_multichip():
     step = mh.make_mh_step(model, mixture, evaluator, store_params=False)
 
     n_chains = 16
-    carry0 = mh.init_carry(model, evaluator, init_state(model))
+    carry0 = mh.init_carry(model, evaluator, init_state(model), mixture)
     carries = jax.tree.map(
         lambda x: jnp.broadcast_to(x, (n_chains,) + x.shape), carry0
     )
