@@ -45,7 +45,9 @@ def main():
     ctx, mixture, evaluator = make_icp_proposal_setup(data)
     step = mh.make_mh_step(data.model, mixture, evaluator, store_params=False)
 
-    carry0 = mh.init_carry(data.model, evaluator, init_state(data.model), mixture)
+    carry0 = jax.jit(lambda s: mh.init_carry(data.model, evaluator, s, mixture))(
+        init_state(data.model)
+    )
     carries = jax.tree.map(
         lambda x: jnp.broadcast_to(x, (n_chains,) + x.shape), carry0
     )

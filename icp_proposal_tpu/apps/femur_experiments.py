@@ -82,7 +82,7 @@ def _batched_init_states(model, n_inits: int, key, variance: float = 0.1) -> Fit
 
 def _run_batch(model, mixture, evaluator, init_states: FitState, n_steps: int, key):
     step = mh.make_mh_step(model, mixture, evaluator, store_params=True)
-    carries = jax.vmap(lambda s: mh.init_carry(model, evaluator, s, mixture))(init_states)
+    carries = jax.jit(jax.vmap(lambda s: mh.init_carry(model, evaluator, s, mixture)))(init_states)
     n = init_states.coeffs.shape[0]
     keys = jax.random.split(key, n)
     final, records = mh.run_chains(step, carries, keys, n_steps)

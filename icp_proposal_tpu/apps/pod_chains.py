@@ -54,7 +54,7 @@ def main():
         for i in range(chains)
     ]
     states = jax.tree.map(lambda *xs: jnp.stack(xs), *states)
-    carries = jax.vmap(lambda s: mh.init_carry(data.model, evaluator, s, mixture))(states)
+    carries = jax.jit(jax.vmap(lambda s: mh.init_carry(data.model, evaluator, s, mixture)))(states)
     keys = jax.random.split(jax.random.fold_in(key, 7), chains)
 
     mesh = make_chain_mesh(devices)

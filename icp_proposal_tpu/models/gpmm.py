@@ -85,9 +85,18 @@ class Gpmm(NamedTuple):
         return TriangleMesh(points=self.ref_points + self.mean_disp, cells=self.cells)
 
 
-def make_gpmm(ref_points, cells, mean_disp, basis, variance, noise_variance=0.0) -> Gpmm:
+def make_gpmm(ref_points, cells, mean_disp, basis, variance, noise_variance=0.0,
+              morton_faces: bool = True) -> Gpmm:
     """Build a Gpmm, precomputing the scaled basis and the projection factor
-    (in float64 on host for conditioning, stored float32)."""
+    (in float64 on host for conditioning, stored float32).
+
+    morton_faces: reorder faces by Morton code of their centroid (vertex ids
+    and all model semantics unchanged) — makes the Pallas closest-point
+    kernel's AABB tile culling effective (``ops/morton.py``)."""
+    if morton_faces:
+        from icp_proposal_tpu.ops.morton import morton_sort_faces
+
+        cells = np.asarray(cells)[morton_sort_faces(ref_points, cells)]
     basis64 = np.asarray(basis, dtype=np.float64)
     var64 = np.asarray(variance, dtype=np.float64)
     v, _, r = basis64.shape

@@ -117,9 +117,15 @@ def _make_kernel(tri_batched: bool, n_f_tiles: int):
     """Grid is (B, P-tiles); the whole padded triangle SoA sits in VMEM and
     the kernel loops F tiles sequentially with (min, argmin) accumulators
     carried as vectors — one program does [TP, Fp] work, so program count
-    stays tiny (B · Pp/TP) and HBM sees each query/triangle once."""
+    stays tiny (B · Pp/TP) and HBM sees each query/triangle once.
 
-    def kernel(q_ref, tri_ref, min_ref, idx_ref):
+    Tile culling: each 128-triangle tile carries its AABB; a tile is skipped
+    when no query in the block can beat its current best against the box
+    lower bound.  With Morton-sorted faces and queries (``ops/morton.py``)
+    this prunes most tiles — the dense-streaming answer to the reference's
+    BVH."""
+
+    def kernel(q_ref, tri_ref, bounds_ref, min_ref, idx_ref):
         q = tuple(q_ref[0, :, i][:, None] for i in range(3))  # [TP, 1] each
 
         def row(i, f):
@@ -127,10 +133,14 @@ def _make_kernel(tri_batched: bool, n_f_tiles: int):
                 return tri_ref[0, i, pl.ds(f * TF, TF)][None, :]
             return tri_ref[i, pl.ds(f * TF, TF)][None, :]
 
+        def bound(i, f):
+            if tri_batched:
+                return bounds_ref[0, f, i]
+            return bounds_ref[f, i]
+
         lane = jax.lax.broadcasted_iota(jnp.int32, (TP, TF), 1)
 
-        def body(f, carry):
-            run_min, run_idx = carry  # [TP, 1] f32 / i32
+        def compute_tile(f, run_min, run_idx):
             a = (row(0, f), row(1, f), row(2, f))
             b = (row(3, f), row(4, f), row(5, f))
             c = (row(6, f), row(7, f), row(8, f))
@@ -145,6 +155,24 @@ def _make_kernel(tri_batched: bool, n_f_tiles: int):
             return (
                 jnp.where(better, chunk_min, run_min),
                 jnp.where(better, chunk_idx, run_idx),
+            )
+
+        def body(f, carry):
+            run_min, run_idx = carry
+            # squared distance from each query to the tile AABB
+            dx = jnp.maximum(bound(0, f) - q[0], q[0] - bound(3, f))
+            dy = jnp.maximum(bound(1, f) - q[1], q[1] - bound(4, f))
+            dz = jnp.maximum(bound(2, f) - q[2], q[2] - bound(5, f))
+            dx = jnp.maximum(dx, 0.0)
+            dy = jnp.maximum(dy, 0.0)
+            dz = jnp.maximum(dz, 0.0)
+            lb2 = dx * dx + dy * dy + dz * dz  # [TP, 1]
+            visit = jnp.any(lb2 < run_min)
+            return jax.lax.cond(
+                visit,
+                lambda rm, ri: compute_tile(f, rm, ri),
+                lambda rm, ri: (rm, ri),
+                run_min, run_idx,
             )
 
         init = (
@@ -167,6 +195,29 @@ def pack_triangles(triangles) -> jax.Array:
     return jnp.pad(soa, pad, constant_values=_FAR)
 
 
+def tile_bounds(tri_pack) -> jax.Array:
+    """Per-128-triangle-tile AABBs from a packed SoA [..., 9, Fp] →
+    [..., n_tiles, 8] (lo_xyz, hi_xyz, 2 padding lanes).  Padding triangles
+    sit at _FAR, so the last tile's box is huge and simply never culls."""
+    fp = tri_pack.shape[-1]
+    n_tiles = fp // TF
+    tiles = tri_pack.reshape(*tri_pack.shape[:-2], 9, n_tiles, TF)
+    xs = tiles[..., (0, 3, 6), :, :]
+    ys = tiles[..., (1, 4, 7), :, :]
+    zs = tiles[..., (2, 5, 8), :, :]
+    lo = jnp.stack(
+        [xs.min(axis=(-3, -1)), ys.min(axis=(-3, -1)), zs.min(axis=(-3, -1))],
+        axis=-1,
+    )
+    hi = jnp.stack(
+        [xs.max(axis=(-3, -1)), ys.max(axis=(-3, -1)), zs.max(axis=(-3, -1))],
+        axis=-1,
+    )
+    out = jnp.concatenate([lo, hi], axis=-1)  # [..., n_tiles, 6]
+    pad = [(0, 0)] * (out.ndim - 1) + [(0, 2)]
+    return jnp.pad(out, pad)
+
+
 def _dist2_call(queries, tri_pack, interpret=False):
     """queries [B, P, 3]; tri_pack [9, Fp] (shared) or [B, 9, Fp] (per-item)
     → (d2 [B, P], idx [B, P])."""
@@ -175,22 +226,29 @@ def _dist2_call(queries, tri_pack, interpret=False):
     fp = tri_pack.shape[-1]
     qpad = jnp.pad(queries, ((0, 0), (0, pp - p), (0, 0)))
     tri_batched = tri_pack.ndim == 3
+    bounds = tile_bounds(tri_pack)
+    n_tiles = fp // TF
 
     if tri_batched:
         tri_spec = pl.BlockSpec((1, 9, fp), lambda b, pt: (b, 0, 0),
                                 memory_space=pltpu.VMEM)
+        bounds_spec = pl.BlockSpec((1, n_tiles, 8), lambda b, pt: (b, 0, 0),
+                                   memory_space=pltpu.VMEM)
     else:
         tri_spec = pl.BlockSpec((9, fp), lambda b, pt: (0, 0),
                                 memory_space=pltpu.VMEM)
+        bounds_spec = pl.BlockSpec((n_tiles, 8), lambda b, pt: (0, 0),
+                                   memory_space=pltpu.VMEM)
 
     grid = (bsz, pp // TP)
     d2, idx = pl.pallas_call(
-        _make_kernel(tri_batched, fp // TF),
+        _make_kernel(tri_batched, n_tiles),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, TP, 3), lambda b, pt: (b, pt, 0),
                          memory_space=pltpu.VMEM),
             tri_spec,
+            bounds_spec,
         ],
         out_specs=[
             pl.BlockSpec((1, 1, TP, 1), lambda b, pt: (b, pt, 0, 0),
@@ -203,7 +261,7 @@ def _dist2_call(queries, tri_pack, interpret=False):
             jax.ShapeDtypeStruct((bsz, pp // TP, TP, 1), jnp.int32),
         ],
         interpret=interpret,
-    )(qpad, tri_pack)
+    )(qpad, tri_pack, bounds)
     return (
         d2.reshape(bsz, pp)[:, :p],
         idx.reshape(bsz, pp)[:, :p],

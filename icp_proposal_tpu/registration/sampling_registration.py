@@ -71,12 +71,14 @@ class SamplingRegistration:
         key = key if key is not None else jax.random.PRNGKey(1024)
         state0 = initial_state if initial_state is not None else init_state(self.gpmm)
         if jax.tree.leaves(state0)[0].ndim == 0 or state0.coeffs.ndim == 1:
-            carry0 = mh.init_carry(self.gpmm, self.evaluator, state0, self.mixture)
+            carry0 = jax.jit(
+                lambda s: mh.init_carry(self.gpmm, self.evaluator, s, self.mixture)
+            )(state0)
             carry0 = jax.tree.map(
                 lambda x: jnp.broadcast_to(x, (n_chains,) + x.shape), carry0
             )
         else:  # already batched initial states
-            carry0 = jax.vmap(lambda s: mh.init_carry(self.gpmm, self.evaluator, s, self.mixture))(
+            carry0 = jax.jit(jax.vmap(lambda s: mh.init_carry(self.gpmm, self.evaluator, s, self.mixture)))(
                 state0
             )
             n_chains = state0.coeffs.shape[0]

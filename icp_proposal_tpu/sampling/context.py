@@ -19,14 +19,23 @@ class TargetContext(NamedTuple):
     boundary: jax.Array  # [Vt] bool
 
 
-def build_target_context(target: TriangleMesh, boundary_mask=None) -> TargetContext:
+def build_target_context(target: TriangleMesh, boundary_mask=None,
+                         morton_faces: bool = True) -> TargetContext:
     if boundary_mask is None:
         boundary_mask = boundary_vertex_mask(
             np.asarray(target.cells), target.num_points
         )
+    cells = np.asarray(target.cells)
+    if morton_faces:
+        from icp_proposal_tpu.ops.morton import morton_sort_faces
+
+        # face order is semantically irrelevant; Morton order makes the
+        # Pallas kernel's AABB tile culling effective
+        cells = cells[morton_sort_faces(np.asarray(target.points), cells)]
+    cells = jnp.asarray(cells)
     return TargetContext(
         points=target.points,
-        cells=target.cells,
-        tri=target.triangles(),
+        cells=cells,
+        tri=target.points[cells],
         boundary=jnp.asarray(boundary_mask),
     )

@@ -132,13 +132,23 @@ class EvaluatorProgram:
         # quirk (a): we use explicit seeded id subsets instead)
         self._model_ids = {}
         self._target_ids = {}
+        from icp_proposal_tpu.ops.morton import morton_sort_ids
+
         for s in self.specs:
             if isinstance(s, (IndependentPointsSpec, CollectiveAvgMaxSpec)):
+                # Morton-ordered so query tiles are spatially coherent
+                # (enables AABB culling in the Pallas kernel)
                 self._model_ids[s.name] = jnp.asarray(
-                    seeded_vertex_subset(v, s.n_points, seed=1024)
+                    morton_sort_ids(
+                        np.asarray(gpmm.ref_points),
+                        seeded_vertex_subset(v, s.n_points, seed=1024),
+                    )
                 )
                 self._target_ids[s.name] = jnp.asarray(
-                    seeded_vertex_subset(vt, s.n_points, seed=2048)
+                    morton_sort_ids(
+                        np.asarray(target_ctx.points),
+                        seeded_vertex_subset(vt, s.n_points, seed=2048),
+                    )
                 )
 
     # -- likelihood terms ---------------------------------------------------

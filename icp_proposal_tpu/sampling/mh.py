@@ -166,17 +166,25 @@ def run_chain(step, carry: MhCarry, key, n_steps: int):
     return jax.lax.scan(step, carry, keys)
 
 
+_RUN_CHAINS_CACHE: dict = {}
+
+
 def run_chains(step, carries: MhCarry, keys, n_steps: int):
     """vmap over a batch of chains (leading axis of carries/keys).
 
     This is the reference's only parallelism (``.par`` multi-chain loops,
     ``RunMHRandomInitComparison.scala:66-86``) mapped to the TPU batch
-    dimension.
+    dimension.  The jitted runner is cached per (step, n_steps) so segmented
+    drivers don't re-trace/re-compile every segment.
     """
-    return jax.jit(
-        jax.vmap(lambda c, k: run_chain(step, c, k, n_steps)),
-        static_argnames=(),
-    )(carries, keys)
+    cache_key = (step, n_steps)
+    runner = _RUN_CHAINS_CACHE.get(cache_key)
+    if runner is None:
+        runner = jax.jit(
+            jax.vmap(lambda c, k: run_chain(step, c, k, n_steps))
+        )
+        _RUN_CHAINS_CACHE[cache_key] = runner
+    return runner(carries, keys)
 
 
 def stack_states(states):

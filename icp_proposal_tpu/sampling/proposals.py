@@ -29,7 +29,7 @@ from typing import List, Tuple, Union
 import jax
 import jax.numpy as jnp
 
-from icp_proposal_tpu.mesh import vertex_normals
+
 from icp_proposal_tpu.models import gpmm as gp
 from icp_proposal_tpu.ops.closest_point import (
     closest_points_on_surface,
@@ -313,6 +313,9 @@ class MixtureProgram:
 
     def __init__(self, weighted_specs, gpmm, ctx: TargetContext, model_boundary,
                  parity: bool = False, seed: int = 1024):
+        import numpy as np
+
+        from icp_proposal_tpu.ops.morton import morton_sort_ids
         from icp_proposal_tpu.ops.surface_sampling import seeded_vertex_subset
 
         total = sum(w for w, _ in weighted_specs)
@@ -335,8 +338,14 @@ class MixtureProgram:
                     gpmm,
                     ctx,
                     model_boundary,
-                    jnp.asarray(seeded_vertex_subset(gpmm.num_points, s.n_points, seed)),
-                    jnp.asarray(seeded_vertex_subset(vt, s.n_points, seed + 1)),
+                    jnp.asarray(morton_sort_ids(
+                        np.asarray(gpmm.ref_points),
+                        seeded_vertex_subset(gpmm.num_points, s.n_points, seed),
+                    )),
+                    jnp.asarray(morton_sort_ids(
+                        np.asarray(ctx.points),
+                        seeded_vertex_subset(vt, s.n_points, seed + 1),
+                    )),
                 )
 
     @property
