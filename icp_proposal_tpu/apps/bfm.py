@@ -181,7 +181,7 @@ def make_bfm_fitting_setup(data: BfmData, partial: bool, parity: bool = False):
             )),
             (0.05, mixed_random_shape_proposal()),
         ),
-        model, ctx, jnp.asarray(data.model_boundary_mask), parity=parity,
+        model, ctx, np.asarray(data.model_boundary_mask), parity=parity,
     )
     if partial:
         evaluator = proximity_and_collective_hausdorff_boundary_aware(

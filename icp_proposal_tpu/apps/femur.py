@@ -100,7 +100,7 @@ def make_icp_proposal_setup(data: FemurData, parity: bool = False):
         ),
         model,
         ctx,
-        jnp.asarray(data.model_boundary_mask),
+        np.asarray(data.model_boundary_mask),
         parity=parity,
     )
     evaluator = proximity_and_independent(
@@ -127,7 +127,7 @@ def make_random_walk_setup(data: FemurData, shape_steps=(0.1,), sigma_eval=2.0):
         mixed_random_shape_proposal(shape_steps),
         model,
         ctx,
-        jnp.asarray(data.model_boundary_mask),
+        np.asarray(data.model_boundary_mask),
     )
     evaluator = proximity_and_independent(
         model, ctx, mode="model_to_target", sigma=sigma_eval, n_points=4 * model.rank
@@ -167,18 +167,70 @@ def run_icp_proposal_registration(
     return result, data
 
 
+def run_deterministic_icp(
+    num_iterations: int = 100,
+    model_components: int = 50,
+    n_sample_points: int = None,
+    seed: int = 1024,
+    verbose: bool = True,
+):
+    """Deterministic non-rigid ICP entry point (reference
+    ``IcpRegistration.main``: full-resolution point counts, 100 iterations,
+    σ=1e-15, ModelAndTargetSampling)."""
+    import jax
+    import jax.numpy as jnp
+
+    from icp_proposal_tpu.mesh import TriangleMesh
+    from icp_proposal_tpu.models.gpmm import instance_points
+    from icp_proposal_tpu.ops.surface_sampling import (
+        sample_points_on_surface,
+        seeded_vertex_subset,
+    )
+    from icp_proposal_tpu.registration.comparison import evaluate_reconstruction
+    from icp_proposal_tpu.registration.icp_fitting import icp_surface_fitting
+    from icp_proposal_tpu.sampling.context import build_target_context
+    from icp_proposal_tpu.utils.profiling import wall_timer
+
+    data = load_femur_data(model_components)
+    model = data.model
+    n = n_sample_points or model.num_points
+    ctx = build_target_context(data.target, data.target_boundary_mask)
+    model_ids = jnp.asarray(seeded_vertex_subset(model.num_points, n, seed))
+    target_pts = sample_points_on_surface(jax.random.PRNGKey(seed), data.target, n)
+    with wall_timer("ICP", verbose):
+        coeffs = icp_surface_fitting(
+            model, ctx, model_ids, target_pts,
+            num_iterations=num_iterations, sigma_seq=(1e-15,),
+            projection_direction="model_and_target", key=jax.random.PRNGKey(seed),
+        )
+        coeffs.block_until_ready()
+    fitted = TriangleMesh(points=instance_points(model, coeffs), cells=model.cells)
+    if verbose:
+        evaluate_reconstruction("SAMPLE", fitted, data.target)
+    return coeffs, fitted, data
+
+
 if __name__ == "__main__":
     import argparse
 
-    p = argparse.ArgumentParser(description="Femur MH-ICP-proposal registration")
+    p = argparse.ArgumentParser(description="Femur registration entry points")
+    p.add_argument("mode", nargs="?", default="proposal",
+                   choices=["proposal", "icp"],
+                   help="proposal = MH ICP-proposal chain; icp = deterministic ICP")
     p.add_argument("--samples", type=int, default=10000)
+    p.add_argument("--iterations", type=int, default=100)
     p.add_argument("--components", type=int, default=50)
     p.add_argument("--chains", type=int, default=1)
     p.add_argument("--json", type=str, default=None)
     args = p.parse_args()
-    run_icp_proposal_registration(
-        num_samples=args.samples,
-        model_components=args.components,
-        n_chains=args.chains,
-        json_path=args.json,
-    )
+    if args.mode == "proposal":
+        run_icp_proposal_registration(
+            num_samples=args.samples,
+            model_components=args.components,
+            n_chains=args.chains,
+            json_path=args.json,
+        )
+    else:
+        run_deterministic_icp(
+            num_iterations=args.iterations, model_components=args.components
+        )

@@ -103,15 +103,18 @@ def make_gpmm(ref_points, cells, mean_disp, basis, variance, noise_variance=0.0,
     q = (basis64 * np.sqrt(var64)[None, None, :]).reshape(3 * v, r)
     gram = q.T @ q + _PROJECTION_SIGMA2 * np.eye(r)
     chol = np.linalg.cholesky(gram)
+    # fields stay host-side numpy: they become baked constants inside jitted
+    # programs (no eager device dispatches at build time — each eager op costs
+    # ~0.5 s over a tunneled TPU)
     return Gpmm(
-        ref_points=jnp.asarray(ref_points, jnp.float32),
-        cells=jnp.asarray(cells, jnp.int32),
-        mean_disp=jnp.asarray(mean_disp, jnp.float32),
-        basis=jnp.asarray(basis, jnp.float32),
-        variance=jnp.asarray(variance, jnp.float32),
-        noise_variance=jnp.asarray(noise_variance, jnp.float32),
-        sbasis=jnp.asarray(q.reshape(v, 3, r), jnp.float32),
-        coeff_chol=jnp.asarray(chol, jnp.float32),
+        ref_points=np.asarray(ref_points, np.float32),
+        cells=np.asarray(cells, np.int32),
+        mean_disp=np.asarray(mean_disp, np.float32),
+        basis=np.asarray(basis, np.float32),
+        variance=np.asarray(variance, np.float32),
+        noise_variance=np.asarray(noise_variance, np.float32),
+        sbasis=np.asarray(q.reshape(v, 3, r), np.float32),
+        coeff_chol=np.asarray(chol, np.float32),
     )
 
 
@@ -210,8 +213,8 @@ def posterior_factors_anisotropic(
     reference's inverted guard, which is irrelevant because the noise only
     depends on n through nnᵀ — documented deviation, SURVEY §2.1).
     """
-    q_o = gpmm.sbasis[ids]  # [m, 3, r]
-    resid = obs_disp - gpmm.mean_disp[ids]  # [m, 3]
+    q_o = jnp.asarray(gpmm.sbasis)[ids]  # [m, 3, r]
+    resid = obs_disp - jnp.asarray(gpmm.mean_disp)[ids]  # [m, 3]
     a = 1.0 / (noise_along_normal * noise_along_normal)
     b = 1.0 / (tangential_noise * tangential_noise)
     ntq = jnp.einsum("mi,mir->mr", normals, q_o)  # [m, r]
@@ -230,8 +233,8 @@ def posterior_factors_isotropic(
     """Posterior factors for isotropic observation noise σ²I — the
     deterministic-ICP regression (reference ``IcpBasedSurfaceFitting.scala:81``,
     scalismo ``StatisticalMeshModel.posterior(corr, sigma2)``)."""
-    q_o = gpmm.sbasis[ids]
-    resid = obs_disp - gpmm.mean_disp[ids]
+    q_o = jnp.asarray(gpmm.sbasis)[ids]
+    resid = obs_disp - jnp.asarray(gpmm.mean_disp)[ids]
     pq = q_o / sigma2 * mask.astype(q_o.dtype)[:, None, None]
     return _assemble(q_o, pq, resid)
 

@@ -160,7 +160,7 @@ def closest_points_on_surface(queries, triangles):
     Returns (points [P,3], dist2 [P], face_idx [P]).
     """
     dist2, face_idx = surface_distances_auto(queries, triangles)
-    tri = triangles[face_idx]  # [P, 3, 3]
+    tri = jnp.asarray(triangles)[face_idx]  # [P, 3, 3]
     cp, _ = closest_point_on_triangle(queries, tri[:, 0], tri[:, 1], tri[:, 2])
     return cp, dist2, face_idx
 
@@ -190,8 +190,8 @@ def nearest_vertex_of_faces(cells, face_idx, cp, points):
     the reference chains ``closestPointOnSurface`` + ``findClosestPoint``
     (e.g. ``NonRigidIcpProposal.scala:97-99``).
     """
-    corner_ids = cells[face_idx]  # [P, 3]
-    corners = points[corner_ids]  # [P, 3, 3]
+    corner_ids = jnp.asarray(cells)[face_idx]  # [P, 3]
+    corners = jnp.asarray(points)[corner_ids]  # [P, 3, 3]
     d2 = jnp.sum((corners - cp[:, None, :]) ** 2, axis=-1)  # [P, 3]
     pick = jnp.argmin(d2, axis=1)
     return jnp.take_along_axis(corner_ids, pick[:, None], axis=1)[:, 0]

@@ -34,8 +34,8 @@ def _regression_mean(gpmm, ids, obs_disp, sigma2, mask):
     """Stable isotropic GP-regression mean:
     α̂ = (σ²I + Σ masked QᵢᵀQᵢ)⁻¹ Σ masked Qᵢᵀỹᵢ — avoids 1/σ² overflow for
     the reference's σ→0 annealing."""
-    q_o = gpmm.sbasis[ids]  # [m, 3, r]
-    resid = (obs_disp - gpmm.mean_disp[ids]) * mask[:, None]
+    q_o = jnp.asarray(gpmm.sbasis)[ids]  # [m, 3, r]
+    resid = (obs_disp - jnp.asarray(gpmm.mean_disp)[ids]) * mask[:, None]
     qm = q_o * mask[:, None, None]
     m3, r = qm.shape[0] * 3, qm.shape[2]
     qf = qm.reshape(m3, r)
@@ -93,7 +93,7 @@ def icp_surface_fitting(
             ids = jnp.where(flip, ids_m, ids_t)
             obs = jnp.where(flip, obs_m, obs_t)
 
-        obs_disp = obs - gpmm.ref_points[ids]
+        obs_disp = obs - jnp.asarray(gpmm.ref_points)[ids]
         alpha_hat = _regression_mean(
             gpmm, ids, obs_disp, sigma2, jnp.ones(ids.shape[0], jnp.float32)
         )

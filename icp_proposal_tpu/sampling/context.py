@@ -25,17 +25,18 @@ def build_target_context(target: TriangleMesh, boundary_mask=None,
         boundary_mask = boundary_vertex_mask(
             np.asarray(target.cells), target.num_points
         )
+    points = np.asarray(target.points, np.float32)
     cells = np.asarray(target.cells)
     if morton_faces:
         from icp_proposal_tpu.ops.morton import morton_sort_faces
 
         # face order is semantically irrelevant; Morton order makes the
         # Pallas kernel's AABB tile culling effective
-        cells = cells[morton_sort_faces(np.asarray(target.points), cells)]
-    cells = jnp.asarray(cells)
+        cells = cells[morton_sort_faces(points, cells)]
+    # host-side numpy: baked as jit constants, no eager device dispatches
     return TargetContext(
-        points=target.points,
-        cells=cells,
-        tri=target.points[cells],
-        boundary=jnp.asarray(boundary_mask),
+        points=points,
+        cells=np.asarray(cells, np.int32),
+        tri=points[cells],
+        boundary=np.asarray(boundary_mask),
     )

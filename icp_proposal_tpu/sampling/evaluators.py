@@ -138,13 +138,13 @@ class EvaluatorProgram:
             if isinstance(s, (IndependentPointsSpec, CollectiveAvgMaxSpec)):
                 # Morton-ordered so query tiles are spatially coherent
                 # (enables AABB culling in the Pallas kernel)
-                self._model_ids[s.name] = jnp.asarray(
+                self._model_ids[s.name] = np.asarray(
                     morton_sort_ids(
                         np.asarray(gpmm.ref_points),
                         seeded_vertex_subset(v, s.n_points, seed=1024),
                     )
                 )
-                self._target_ids[s.name] = jnp.asarray(
+                self._target_ids[s.name] = np.asarray(
                     morton_sort_ids(
                         np.asarray(target_ctx.points),
                         seeded_vertex_subset(vt, s.n_points, seed=2048),
@@ -179,7 +179,7 @@ class EvaluatorProgram:
         def masked_avg_max(queries, tri, cells, surf_points, boundary):
             cp, d2, fidx = closest_points_on_surface(queries, tri)
             near = nearest_vertex_of_faces(cells, fidx, cp, surf_points)
-            keep = ~boundary[near]
+            keep = ~jnp.asarray(boundary)[near]
             d = jnp.sqrt(d2)
             wsum = jnp.maximum(jnp.sum(keep), 1)
             avg = jnp.sum(jnp.where(keep, d, 0.0)) / wsum
@@ -243,7 +243,7 @@ def build_evaluator(
     if model_boundary is None:
         from icp_proposal_tpu.mesh import boundary_vertex_mask
 
-        model_boundary = jnp.asarray(
+        model_boundary = np.asarray(
             boundary_vertex_mask(np.asarray(gpmm.cells), gpmm.num_points)
         )
     return EvaluatorProgram(gpmm, target_ctx, specs, include_prior, model_boundary)

@@ -21,6 +21,7 @@ from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from icp_proposal_tpu.mesh import vertex_face_adjacency, vertex_normals_gather
 from icp_proposal_tpu.sampling.evaluators import EvaluatorProgram
@@ -66,7 +67,7 @@ def make_mh_step(gpmm, mixture: MixtureProgram, evaluator: EvaluatorProgram,
     # static vertex→face adjacency: turns per-step normal accumulation into
     # gathers (scatter-adds serialize on TPU)
     adjacency = (
-        jnp.asarray(vertex_face_adjacency(gpmm.cells, gpmm.num_points))
+        np.asarray(vertex_face_adjacency(gpmm.cells, gpmm.num_points))
         if needs_normals
         else None
     )
@@ -151,7 +152,7 @@ def init_carry(gpmm, evaluator: EvaluatorProgram, state: FitState,
     if mixture is not None and mixture.icp_components:
         normals = vertex_normals_gather(
             pts, gpmm.cells,
-            jnp.asarray(vertex_face_adjacency(gpmm.cells, gpmm.num_points)),
+            np.asarray(vertex_face_adjacency(gpmm.cells, gpmm.num_points)),
         )
         fac = mixture.anchor_factors(state, pts, normals)
         factors = tuple(fac[i] for i in sorted(fac))

@@ -244,7 +244,7 @@ class IcpComponent:
             q = cur_points[self.model_ids]
             cp, _, fidx = closest_points_on_surface(q, self.ctx.tri)
             near = nearest_vertex_of_faces(self.ctx.cells, fidx, cp, self.ctx.points)
-            on_boundary = self.ctx.boundary[near]
+            on_boundary = jnp.asarray(self.ctx.boundary)[near]
             ids = self.model_ids
             obs_world = cp
             normals = cur_normals[ids]
@@ -253,14 +253,14 @@ class IcpComponent:
             # target point; boundary check on the model side (reference :112-131)
             tq = self.ctx.points[self.target_ids]
             ids = nearest_vertices(tq, cur_points)
-            on_boundary = self.model_boundary[ids]
+            on_boundary = jnp.asarray(self.model_boundary)[ids]
             obs_world = tq
             normals = cur_normals[ids]
 
         mask = (~on_boundary) if spec.boundary_aware else jnp.ones_like(on_boundary)
         # displacement observation in model (reference) frame:
         # inverse-pose the world-space correspondent (reference :106-108,126-129)
-        obs_disp = pose_inverse_apply(state, obs_world) - self.gpmm.ref_points[ids]
+        obs_disp = pose_inverse_apply(state, obs_world) - jnp.asarray(self.gpmm.ref_points)[ids]
         return gp.posterior_factors_anisotropic(
             self.gpmm,
             ids,
@@ -322,7 +322,7 @@ class MixtureProgram:
         self.weights = [w / total for w, _ in weighted_specs]
         self.specs = [s for _, s in weighted_specs]
         self.names = [s.name for s in self.specs]
-        self.log_weights = jnp.log(jnp.asarray(self.weights, jnp.float32))
+        self.log_weights = np.log(np.asarray(self.weights, np.float32))
         self.gpmm = gpmm
         self.ctx = ctx
         # parity=True reproduces the reference's transition density exactly
@@ -338,11 +338,11 @@ class MixtureProgram:
                     gpmm,
                     ctx,
                     model_boundary,
-                    jnp.asarray(morton_sort_ids(
+                    np.asarray(morton_sort_ids(
                         np.asarray(gpmm.ref_points),
                         seeded_vertex_subset(gpmm.num_points, s.n_points, seed),
                     )),
-                    jnp.asarray(morton_sort_ids(
+                    np.asarray(morton_sort_ids(
                         np.asarray(ctx.points),
                         seeded_vertex_subset(vt, s.n_points, seed + 1),
                     )),

@@ -281,3 +281,35 @@ def test_random_init_comparison_small():
     rnd_avg = np.mean([r["avg"] for r in results if r["method"] == "rnd"])
     assert np.isfinite(icp_avg) and np.isfinite(rnd_avg)
     assert icp_avg < rnd_avg * 1.5  # informed proposal at least competitive
+
+
+# ----------------------------------------------------------------- morton
+
+def test_morton_sorting():
+    from icp_proposal_tpu.ops.morton import (
+        morton_codes,
+        morton_sort_faces,
+        morton_sort_ids,
+    )
+
+    rng = np.random.RandomState(0)
+    pts = rng.rand(200, 3) * 100
+    codes = morton_codes(pts)
+    assert codes.shape == (200,)
+    # spatial locality: consecutive points in morton order are closer on
+    # average than random pairs
+    order = np.argsort(codes)
+    sorted_pts = pts[order]
+    d_consec = np.linalg.norm(np.diff(sorted_pts, axis=0), axis=1).mean()
+    d_random = np.linalg.norm(
+        pts[rng.permutation(200)] - pts[rng.permutation(200)], axis=1
+    ).mean()
+    assert d_consec < 0.5 * d_random
+
+    points, cells = make_icosphere(subdivisions=2)
+    perm = morton_sort_faces(points, cells)
+    assert sorted(perm.tolist()) == list(range(len(cells)))
+
+    ids = np.arange(0, 100, 7)
+    sorted_ids = morton_sort_ids(pts[:120], ids)
+    assert sorted(sorted_ids.tolist()) == sorted(ids.tolist())
