@@ -41,17 +41,27 @@ def main():
     n_chains = int(os.environ.get("BENCH_CHAINS", "128"))
     n_steps = int(os.environ.get("BENCH_STEPS", "100"))
 
+    t = time.perf_counter()
     data = load_femur_data(model_components=100)
+    log(f"load_femur_data took {time.perf_counter() - t:.1f}s")
+    t = time.perf_counter()
     ctx, mixture, evaluator = make_icp_proposal_setup(data)
     step = mh.make_mh_step(data.model, mixture, evaluator, store_params=False)
+    log(f"setup took {time.perf_counter() - t:.1f}s")
 
+    t = time.perf_counter()
     carry0 = jax.jit(lambda s: mh.init_carry(data.model, evaluator, s, mixture))(
         init_state(data.model)
     )
+    jax.block_until_ready(carry0)
+    log(f"init_carry (jit) took {time.perf_counter() - t:.1f}s")
+    t = time.perf_counter()
     carries = jax.tree.map(
         lambda x: jnp.broadcast_to(x, (n_chains,) + x.shape), carry0
     )
     keys = jax.random.split(jax.random.PRNGKey(0), n_chains)
+    jax.block_until_ready(carries)
+    log(f"broadcast took {time.perf_counter() - t:.1f}s")
 
     run = jax.jit(
         lambda c, k: jax.vmap(lambda ci, ki: mh.run_chain(step, ci, ki, n_steps))(c, k)

@@ -33,6 +33,12 @@ TF = 128  # triangle tile (lanes)
 _FAR = 1e9  # padding triangle coordinate
 
 
+def _culling_enabled() -> bool:
+    import os
+
+    return os.environ.get("ICP_TPU_CULLING") == "1"
+
+
 def _dot3(a, b):
     return a[0] * b[0] + a[1] * b[1] + a[2] * b[2]
 
@@ -157,7 +163,7 @@ def _make_kernel(tri_batched: bool, n_f_tiles: int):
                 jnp.where(better, chunk_idx, run_idx),
             )
 
-        def body(f, carry):
+        def body_culled(f, carry):
             run_min, run_idx = carry
             # squared distance from each query to the tile AABB
             dx = jnp.maximum(bound(0, f) - q[0], q[0] - bound(3, f))
@@ -174,6 +180,16 @@ def _make_kernel(tri_batched: bool, n_f_tiles: int):
                 lambda rm, ri: (rm, ri),
                 run_min, run_idx,
             )
+
+        def body_dense(f, carry):
+            return compute_tile(f, carry[0], carry[1])
+
+        # Culling only pays off when each 128-query tile is spatially tight
+        # relative to the surface; at reference workload sizes (≈200 queries
+        # over the whole bone) the cond overhead exceeds the savings, so the
+        # dense loop is the default (measured on v5e).  ICP_TPU_CULLING=1
+        # enables the AABB path (profitable for large query sets).
+        body = body_culled if _culling_enabled() else body_dense
 
         init = (
             jnp.full((TP, 1), jnp.inf, jnp.float32),
