@@ -50,18 +50,18 @@ def main():
     log(f"setup took {time.perf_counter() - t:.1f}s")
 
     t = time.perf_counter()
-    carry0 = jax.jit(lambda s: mh.init_carry(data.model, evaluator, s, mixture))(
-        init_state(data.model)
-    )
-    jax.block_until_ready(carry0)
-    log(f"init_carry (jit) took {time.perf_counter() - t:.1f}s")
-    t = time.perf_counter()
-    carries = jax.tree.map(
-        lambda x: jnp.broadcast_to(x, (n_chains,) + x.shape), carry0
-    )
-    keys = jax.random.split(jax.random.PRNGKey(0), n_chains)
+
+    @jax.jit
+    def make_carries(s):
+        c0 = mh.init_carry(data.model, evaluator, s, mixture)
+        carries = jax.tree.map(
+            lambda x: jnp.broadcast_to(x, (n_chains,) + x.shape), c0
+        )
+        return carries, jax.random.split(jax.random.PRNGKey(0), n_chains)
+
+    carries, keys = make_carries(init_state(data.model))
     jax.block_until_ready(carries)
-    log(f"broadcast took {time.perf_counter() - t:.1f}s")
+    log(f"init carries (jit) took {time.perf_counter() - t:.1f}s")
 
     run = jax.jit(
         lambda c, k: jax.vmap(lambda ci, ki: mh.run_chain(step, ci, ki, n_steps))(c, k)

@@ -45,8 +45,10 @@ class TriangleMesh(NamedTuple):
 
 
 def make_mesh(points, cells) -> TriangleMesh:
-    points = jnp.asarray(points, dtype=jnp.float32)
-    cells = jnp.asarray(cells, dtype=jnp.int32)
+    """Host-side numpy arrays: loaded meshes act as baked constants inside
+    jitted programs (no eager device transfers at load time)."""
+    points = np.asarray(points, dtype=np.float32)
+    cells = np.asarray(cells, dtype=np.int32)
     return TriangleMesh(points=points, cells=cells)
 
 

@@ -53,8 +53,9 @@ def rigid_landmark_alignment(source, target, center=None) -> RigidTransform:
     r = vt.T @ np.diag([1.0, 1.0, d]) @ u.T
     # solve for t given rotation about `center`: target ≈ R(source - c) + c + t
     t = mu_t - (r @ (mu_s - center) + center)
+    # numpy outputs: this is load-time data prep — keep it off the device
     return RigidTransform(
-        rotation=jnp.asarray(r, jnp.float32),
-        translation=jnp.asarray(t, jnp.float32),
-        center=jnp.asarray(center, jnp.float32),
+        rotation=r.astype(np.float32),
+        translation=t.astype(np.float32),
+        center=center.astype(np.float32),
     )

@@ -33,17 +33,22 @@ class FitState(NamedTuple):
 def init_state(gpmm: Gpmm, coeffs=None, center=None) -> FitState:
     """Zero pose, rotation center = reference-mesh centroid, zero (or given)
     coefficients — the chain driver's initial state
-    (reference ``SamplingRegistration.scala:40-43``)."""
+    (reference ``SamplingRegistration.scala:40-43``).
+
+    Built host-side (numpy) so constructing states triggers no eager device
+    dispatches; arrays convert at the jit boundary."""
+    import numpy as np
+
     if center is None:
-        center = centroid(gpmm.ref_points)
+        center = np.asarray(gpmm.ref_points).mean(axis=0)
     if coeffs is None:
-        coeffs = jnp.zeros((gpmm.rank,), jnp.float32)
+        coeffs = np.zeros((gpmm.rank,), np.float32)
     return FitState(
-        scale=jnp.asarray(1.0, jnp.float32),
-        rot=jnp.zeros(3, jnp.float32),
-        trans=jnp.zeros(3, jnp.float32),
-        center=jnp.asarray(center, jnp.float32),
-        coeffs=jnp.asarray(coeffs, jnp.float32),
+        scale=np.float32(1.0),
+        rot=np.zeros(3, np.float32),
+        trans=np.zeros(3, np.float32),
+        center=np.asarray(center, np.float32),
+        coeffs=np.asarray(coeffs, np.float32),
     )
 
 
