@@ -38,7 +38,7 @@ def main():
     log(f"devices: {jax.devices()}")
     log(f"device init took {time.perf_counter() - t:.1f}s")
 
-    n_chains = int(os.environ.get("BENCH_CHAINS", "128"))
+    n_chains = int(os.environ.get("BENCH_CHAINS", "2048"))
     n_steps = int(os.environ.get("BENCH_STEPS", "100"))
 
     t = time.perf_counter()
