@@ -313,3 +313,28 @@ def test_morton_sorting():
     ids = np.arange(0, 100, 7)
     sorted_ids = morton_sort_ids(pts[:120], ids)
     assert sorted(sorted_ids.tolist()) == sorted(ids.tolist())
+
+
+def test_std_icp_vs_chain_harness(tmp_path):
+    """Mini paper-harness run: 1 target, 2 inits, all three methods, results
+    in the experiment-log schema."""
+    from icp_proposal_tpu.apps.femur_experiments import run_std_icp_vs_chain_comparison
+
+    points, cells = make_icosphere(subdivisions=2, radius=50.0)
+    model = make_synthetic_gpmm(points, cells, rank=6, sigma=40.0, scale=5.0)
+    alpha = jnp.zeros(6).at[0].set(1.0)
+    target = TriangleMesh(points=gp.instance_points(model, alpha), cells=model.cells)
+    mask = jnp.asarray(boundary_vertex_mask(np.asarray(cells), len(points)))
+    path = tmp_path / "experiments.json"
+    logger = run_std_icp_vs_chain_comparison(
+        model, [target], ["synthetic_target"], mask, str(path),
+        n_inits=2, n_samples=60, verbose=False, compute_dice=False,
+    )
+    loaded = logger.load_log()
+    assert len(loaded) == 2
+    rec = loaded[0]
+    assert rec["targetPath"] == "synthetic_target"
+    for key in ("samplingEuclidean", "samplingHausdorff", "icp"):
+        assert np.isfinite(rec[key]["avg"])
+        assert rec[key]["avg"] < 10.0
+    assert len(rec["coeffIcp"]) == 6
