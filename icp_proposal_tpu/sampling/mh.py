@@ -40,6 +40,9 @@ class MhCarry(NamedTuple):
     # at the candidate (the reference pays its LRU cache for the same
     # saving, ``NonRigidIcpProposal.scala:49``).
     icp_factors: tuple = ()
+    # diminishing scale adaptation (AdaptConfig; no-op when disabled)
+    adapt_log_scales: Optional[jax.Array] = None  # [C]
+    step_idx: Optional[jax.Array] = None  # []
 
 
 class ChainRecord(NamedTuple):
@@ -84,10 +87,13 @@ def make_mh_step(gpmm, mixture: MixtureProgram, evaluator: EvaluatorProgram,
         # ---- forward-anchor factors come from the carry (invariant: they
         # equal anchor_factors(state)); no current-state decode needed -------
         factors_cur = dict(zip(icp_idx, carry.icp_factors))
+        scales = (
+            jnp.exp(carry.adapt_log_scales) if mixture.adapt is not None else None
+        )
 
         # ---- dense candidate generation + categorical selection ------------
-        candidates = mixture.propose_all(k_prop, state, factors_cur)
-        idx = jax.random.categorical(k_sel, mixture.log_weights)
+        candidates = mixture.propose_all(k_prop, state, factors_cur, scales)
+        idx = jax.random.categorical(k_sel, jnp.asarray(mixture.log_weights))
         cand_stack = jax.tree.map(lambda *xs: jnp.stack(xs), *candidates)
         cand: FitState = jax.tree.map(lambda x: x[idx], cand_stack)
 
@@ -98,8 +104,8 @@ def make_mh_step(gpmm, mixture: MixtureProgram, evaluator: EvaluatorProgram,
         )
         factors_cand = mixture.anchor_factors(cand, cand_pts, cand_normals)
 
-        log_q_fwd = mixture.log_q_mixture(state, cand, factors_cur)
-        log_q_rev = mixture.log_q_mixture(cand, state, factors_cand)
+        log_q_fwd = mixture.log_q_mixture(state, cand, factors_cur, scales)
+        log_q_rev = mixture.log_q_mixture(cand, state, factors_cand, scales)
 
         # ---- evaluate candidate posterior ---------------------------------
         log_post_cand, named_cand = evaluator(cand, cand_pts)
@@ -119,11 +125,21 @@ def make_mh_step(gpmm, mixture: MixtureProgram, evaluator: EvaluatorProgram,
             )
             for i in icp_idx
         )
+        if mixture.adapt is not None:
+            new_log_scales = mixture.update_scales(
+                carry.adapt_log_scales, carry.step_idx, idx, log_alpha
+            )
+            new_step_idx = carry.step_idx + 1
+        else:
+            new_log_scales = carry.adapt_log_scales
+            new_step_idx = carry.step_idx
         new_carry = MhCarry(
             state=new_state,
             log_post=jnp.where(accept, log_post_cand, carry.log_post),
             named=jnp.where(accept, named_cand, carry.named),
             icp_factors=new_factors,
+            adapt_log_scales=new_log_scales,
+            step_idx=new_step_idx,
         )
         record = ChainRecord(
             accepted=accept,
@@ -156,8 +172,14 @@ def init_carry(gpmm, evaluator: EvaluatorProgram, state: FitState,
         )
         fac = mixture.anchor_factors(state, pts, normals)
         factors = tuple(fac[i] for i in sorted(fac))
+    adapt_log_scales = None
+    step_idx = None
+    if mixture is not None and mixture.adapt is not None:
+        adapt_log_scales = jnp.zeros(mixture.num_components, jnp.float32)
+        step_idx = jnp.asarray(0.0, jnp.float32)
     return MhCarry(state=state, log_post=log_post, named=named,
-                   icp_factors=factors)
+                   icp_factors=factors, adapt_log_scales=adapt_log_scales,
+                   step_idx=step_idx)
 
 
 @partial(jax.jit, static_argnames=("step", "n_steps"))

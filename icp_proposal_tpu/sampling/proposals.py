@@ -305,6 +305,25 @@ class IcpComponent:
 # mixture program
 # ---------------------------------------------------------------------------
 
+@dataclass(frozen=True)
+class AdaptConfig:
+    """Diminishing Robbins–Monro scale adaptation for random-walk components
+    (not in the reference; BASELINE.json north-star feature).
+
+    The per-component log-scale s_c is updated only on steps where component
+    c was selected:
+        s_c += rate / (1 + t)^decay · (min(1, e^{logα}) − target)
+    and frozen after ``adapt_steps``.  Diminishing adaptation preserves
+    ergodicity (Roberts & Rosenthal 2007); the forward and reverse densities
+    within a step always use the same scales (they live in the scan carry).
+    """
+
+    target: float = 0.234
+    rate: float = 1.0
+    decay: float = 0.6
+    adapt_steps: int = 10 ** 9  # adapt "forever" by default
+
+
 class MixtureProgram:
     """A flattened, normalized proposal mixture over FitState.
 
@@ -312,7 +331,8 @@ class MixtureProgram:
     """
 
     def __init__(self, weighted_specs, gpmm, ctx: TargetContext, model_boundary,
-                 parity: bool = False, seed: int = 1024):
+                 parity: bool = False, seed: int = 1024,
+                 adapt: "AdaptConfig | None" = None):
         import numpy as np
 
         from icp_proposal_tpu.ops.morton import morton_sort_ids
@@ -329,6 +349,12 @@ class MixtureProgram:
         # (no ½·log det M, no relaxation Jacobian); parity=False is the
         # mathematically exact MH correction.  See IcpComponent.log_q.
         self.parity = parity
+        self.adapt = adapt
+        # which components have an adaptable scalar scale (random walks only;
+        # the ICP proposal's step noise is the GP posterior itself)
+        self.adaptable = np.asarray(
+            [not isinstance(s, IcpSpec) for s in self.specs], np.float32
+        )
         self.icp_components = {}
         vt = int(ctx.points.shape[0])
         for i, s in enumerate(self.specs):
@@ -365,8 +391,16 @@ class MixtureProgram:
             for i, comp in self.icp_components.items()
         }
 
-    def propose_all(self, key, state: FitState, factors_cur) -> List[FitState]:
-        """One candidate per component."""
+    def _sigma(self, i, spec, scales):
+        """Effective scale for component i: static sigma × adaptive factor."""
+        if scales is None:
+            return spec.sigma
+        return spec.sigma * scales[i]
+
+    def propose_all(self, key, state: FitState, factors_cur,
+                    scales=None) -> List[FitState]:
+        """One candidate per component.  `scales` [C] are the adaptive scale
+        multipliers from the carry (None → 1)."""
         keys = jax.random.split(key, self.num_components)
         candidates = []
         for i, spec in enumerate(self.specs):
@@ -374,15 +408,17 @@ class MixtureProgram:
             if isinstance(spec, IcpSpec):
                 cand = self.icp_components[i].propose(k, state, factors_cur[i])
             elif isinstance(spec, RandomShapeSpec):
-                eps = spec.sigma * jax.random.normal(k, state.coeffs.shape)
+                eps = self._sigma(i, spec, scales) * jax.random.normal(
+                    k, state.coeffs.shape
+                )
                 cand = state._replace(coeffs=state.coeffs + eps)
             elif isinstance(spec, RotationSpec):
-                eps = spec.sigma * jax.random.normal(k, ())
+                eps = self._sigma(i, spec, scales) * jax.random.normal(k, ())
                 cand = state._replace(
                     rot=state.rot.at[spec.axis].add(eps.astype(state.rot.dtype))
                 )
             elif isinstance(spec, TranslationSpec):
-                eps = spec.sigma * jax.random.normal(k, ())
+                eps = self._sigma(i, spec, scales) * jax.random.normal(k, ())
                 cand = state._replace(
                     trans=state.trans.at[spec.axis].add(eps.astype(state.trans.dtype))
                 )
@@ -391,7 +427,8 @@ class MixtureProgram:
             candidates.append(cand)
         return candidates
 
-    def log_q_mixture(self, from_state: FitState, to_state: FitState, factors_from):
+    def log_q_mixture(self, from_state: FitState, to_state: FitState, factors_from,
+                      scales=None):
         """log q_mix(to|from) = logsumexp_c [ log w_c + log q_c(to|from) ]."""
         comps = []
         for i, spec in enumerate(self.specs):
@@ -400,29 +437,32 @@ class MixtureProgram:
                     from_state, to_state, factors_from[i], self.parity
                 )
             elif isinstance(spec, RandomShapeSpec):
+                sigma = self._sigma(i, spec, scales)
                 delta = to_state.coeffs - from_state.coeffs
                 r = delta.shape[-1]
                 logp = (
-                    -0.5 * jnp.sum((delta / spec.sigma) ** 2)
-                    - r * jnp.log(spec.sigma)
+                    -0.5 * jnp.sum((delta / sigma) ** 2)
+                    - r * jnp.log(sigma)
                     - 0.5 * r * _LOG_2PI
                 )
                 lq = _guard(_pose_scale_equal(from_state, to_state), logp)
             elif isinstance(spec, RotationSpec):
+                sigma = self._sigma(i, spec, scales)
                 delta = to_state.rot[spec.axis] - from_state.rot[spec.axis]
                 logp = (
-                    -0.5 * (delta / spec.sigma) ** 2
-                    - jnp.log(spec.sigma)
+                    -0.5 * (delta / sigma) ** 2
+                    - jnp.log(sigma)
                     - 0.5 * _LOG_2PI
                 )
                 lq = _guard(
                     _all_but_rot_axis_equal(from_state, to_state, spec.axis), logp
                 )
             elif isinstance(spec, TranslationSpec):
+                sigma = self._sigma(i, spec, scales)
                 delta = to_state.trans[spec.axis] - from_state.trans[spec.axis]
                 logp = (
-                    -0.5 * (delta / spec.sigma) ** 2
-                    - jnp.log(spec.sigma)
+                    -0.5 * (delta / sigma) ** 2
+                    - jnp.log(sigma)
                     - 0.5 * _LOG_2PI
                 )
                 lq = _guard(
@@ -430,3 +470,18 @@ class MixtureProgram:
                 )
             comps.append(self.log_weights[i] + lq)
         return jax.scipy.special.logsumexp(jnp.stack(comps))
+
+    def update_scales(self, log_scales, step_idx, selected, log_alpha):
+        """Robbins–Monro log-scale update (no-op unless adapt configured):
+        log_scales [C], step_idx scalar, selected component index, logα."""
+        if self.adapt is None:
+            return log_scales
+        cfg = self.adapt
+        accept_prob = jnp.minimum(1.0, jnp.exp(jnp.minimum(log_alpha, 0.0)))
+        gamma = cfg.rate / (1.0 + step_idx) ** cfg.decay
+        active = (step_idx < cfg.adapt_steps).astype(jnp.float32)
+        onehot = (
+            jax.nn.one_hot(selected, self.num_components)
+            * jnp.asarray(self.adaptable)
+        )
+        return log_scales + active * gamma * onehot * (accept_prob - cfg.target)

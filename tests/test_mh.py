@@ -198,7 +198,7 @@ def test_pose_proposal_guards(sphere_model, sphere_target):
         ],
         sphere_model, ctx, _model_boundary(sphere_model),
     )
-    s0 = init_state(sphere_model)
+    s0 = jax.tree.map(jnp.asarray, init_state(sphere_model))
     s1 = s0._replace(rot=s0.rot.at[0].add(0.02))
     lq = float(mixture.log_q_mixture(s0, s1, {}))
     # only the axis-0 rotation component contributes:
@@ -279,3 +279,30 @@ def test_parity_mode_matches_reference_density(sphere_model, sphere_target):
     lq_parity = float(mix_parity.log_q_mixture(s0, s1, f_exact))
     expected_gap = 0.5 * float(f_exact[0].logdet_m) - RANK * np.log(0.25)
     np.testing.assert_allclose(lq_exact - lq_parity, expected_gap, rtol=1e-4)
+
+
+def test_adaptive_scales_converge_to_target(sphere_model, sphere_target):
+    """Robbins-Monro adaptation: a mistuned random-walk scale should adapt
+    until its acceptance rate approaches the 0.234 target."""
+    from icp_proposal_tpu.sampling.proposals import AdaptConfig
+
+    target, _ = sphere_target
+    ctx = build_target_context(target)
+    evaluator = build_evaluator(sphere_model, ctx, [], include_prior=True)
+    # deliberately huge step: unadapted acceptance would be ~0
+    mixture = MixtureProgram(
+        [(1.0, RandomShapeSpec(sigma=25.0))],
+        sphere_model, ctx, _model_boundary(sphere_model),
+        adapt=AdaptConfig(target=0.234, rate=1.0),
+    )
+    _, records = _run(sphere_model, mixture, evaluator, n_chains=8, n_steps=1200)
+    acc_late = np.asarray(records.accepted)[:, 600:].mean()
+    assert 0.1 < acc_late < 0.45, f"adapted acceptance {acc_late}"
+
+    # without adaptation the same mixture barely accepts
+    mixture0 = MixtureProgram(
+        [(1.0, RandomShapeSpec(sigma=25.0))],
+        sphere_model, ctx, _model_boundary(sphere_model),
+    )
+    _, rec0 = _run(sphere_model, mixture0, evaluator, n_chains=8, n_steps=400)
+    assert np.asarray(rec0.accepted).mean() < 0.05
