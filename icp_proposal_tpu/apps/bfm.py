@@ -71,6 +71,106 @@ def align_scan(scan_points, scan_landmarks: Dict[str, np.ndarray],
     return aligned, aligned_lms
 
 
+def prepare_bfm_dataset(
+    scans_dir: str,
+    landmarks_dir: str,
+    model_landmarks_path: str,
+    out_dir: str,
+    nose_landmark: str = "center.nose.tip",
+    n_nose_cut: int = 1000,
+    mouth_mask_ids=(),
+    verbose: bool = True,
+) -> int:
+    """Full BFM data prep (reference ``bfm/AlignShapes.scala:55-101``):
+    for every scan — scale by 1/1000, rigidly align to the model landmarks,
+    write ``aligned/``; synthesize the partial variant by cutting the 1000
+    vertices nearest the nose tip plus the mouth id mask, write ``partial/``.
+    """
+    from icp_proposal_tpu.io.landmarks import read_landmarks, write_landmarks
+    from icp_proposal_tpu.io.ply import read_ply
+    from icp_proposal_tpu.io.stl import read_stl, write_stl
+
+    model_lms = read_landmarks(model_landmarks_path)
+    for sub in ("aligned/meshes", "aligned/landmarks", "partial/meshes",
+                "partial/landmarks"):
+        os.makedirs(os.path.join(out_dir, sub), exist_ok=True)
+
+    count = 0
+    for fname in sorted(os.listdir(scans_dir)):
+        base, ext = os.path.splitext(fname)
+        if ext.lower() not in (".ply", ".stl"):
+            continue
+        lm_path = os.path.join(landmarks_dir, base + ".json")
+        if not os.path.exists(lm_path):
+            if verbose:
+                print(f"skipping {fname}: no landmarks")
+            continue
+        reader = read_ply if ext.lower() == ".ply" else read_stl
+        points, cells = reader(os.path.join(scans_dir, fname))
+        lms = read_landmarks(lm_path)
+        aligned, aligned_lms = align_scan(points, lms, model_lms, scale=1e-3)
+        write_stl(os.path.join(out_dir, "aligned/meshes", base + ".stl"),
+                  aligned, cells)
+        write_landmarks(os.path.join(out_dir, "aligned/landmarks", base + ".json"),
+                        aligned_lms)
+
+        if nose_landmark in aligned_lms:
+            p_pts, p_cells, _ = synthesize_partial_target(
+                aligned, cells, aligned_lms[nose_landmark],
+                n_cut=n_nose_cut, extra_cut_ids=mouth_mask_ids,
+            )
+            partial_lms = {k: v for k, v in aligned_lms.items() if k != nose_landmark}
+            write_stl(os.path.join(out_dir, "partial/meshes", base + ".stl"),
+                      p_pts, p_cells)
+            write_landmarks(
+                os.path.join(out_dir, "partial/landmarks", base + ".json"),
+                partial_lms,
+            )
+        count += 1
+        if verbose:
+            print(f"prepared {fname}")
+    return count
+
+
+def load_bfm_data(data_dir: str = None, target_index: int = 0,
+                  model_file: str = "faceGPmodel_200c.h5") -> "BfmData":
+    """Load real BFM assets when present (reference ``bfm/LoadTestData``:
+    face GPMM + aligned and partial target meshes by index).  Raises
+    FileNotFoundError when the license-gated assets are absent — callers fall
+    back to ``load_synthetic_face_data``."""
+    from icp_proposal_tpu.io.statismo import read_statismo_gpmm
+    from icp_proposal_tpu.io.stl import read_stl
+
+    data_dir = data_dir or BFM_DATA_DIR
+    model_path = os.path.join(data_dir, model_file)
+    aligned_dir = os.path.join(data_dir, "aligned", "meshes")
+    partial_dir = os.path.join(data_dir, "partial", "meshes")
+    if not (os.path.exists(model_path) and os.path.isdir(aligned_dir)):
+        raise FileNotFoundError(
+            f"BFM assets not found under {data_dir} (license-gated download; "
+            "see reference README.md:57-72). Use load_synthetic_face_data()."
+        )
+    model = read_statismo_gpmm(model_path)
+    targets = sorted(f for f in os.listdir(aligned_dir) if f.endswith(".stl"))
+    tname = targets[target_index]
+    t_pts, t_cells = read_stl(os.path.join(aligned_dir, tname))
+    p_path = os.path.join(partial_dir, tname)
+    if os.path.exists(p_path):
+        p_pts, p_cells = read_stl(p_path)
+    else:
+        p_pts, p_cells = t_pts, t_cells
+    return BfmData(
+        model=model,
+        target=make_mesh(t_pts, t_cells),
+        target_partial=make_mesh(p_pts, p_cells),
+        model_boundary_mask=boundary_vertex_mask(
+            np.asarray(model.cells), model.num_points
+        ),
+        target_boundary_mask=boundary_vertex_mask(t_cells, len(t_pts)),
+        partial_boundary_mask=boundary_vertex_mask(p_cells, len(p_pts)),
+    )
+
+
 # ---------------------------------------------------------------------------
 # synthetic stand-in workload
 # ---------------------------------------------------------------------------

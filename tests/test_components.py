@@ -338,3 +338,59 @@ def test_std_icp_vs_chain_harness(tmp_path):
         assert np.isfinite(rec[key]["avg"])
         assert rec[key]["avg"] < 10.0
     assert len(rec["coeffIcp"]) == 6
+
+
+def test_bfm_dataset_prep_and_load(tmp_path):
+    """Full BFM prep pipeline on synthetic scans: scale, align, partial
+    synthesis, directory layout, then load_bfm_data round trip."""
+    from icp_proposal_tpu.apps.bfm import load_bfm_data, prepare_bfm_dataset
+    from icp_proposal_tpu.io.landmarks import write_landmarks
+    from icp_proposal_tpu.io.ply import write_ply
+    from icp_proposal_tpu.io.statismo import write_statismo_gpmm
+    from icp_proposal_tpu.models.synthetic import make_open_patch, make_synthetic_gpmm
+
+    points, cells = make_open_patch(subdivisions=2, radius=0.1, z_cut=0.6)
+    model = make_synthetic_gpmm(points, cells, rank=6)
+    data_dir = tmp_path / "bfm"
+    os.makedirs(data_dir)
+    write_statismo_gpmm(data_dir / "faceGPmodel_200c.h5", model)
+
+    # model landmarks at a few vertices
+    model_lms = {
+        "a": np.asarray(points[0], np.float64),
+        "b": np.asarray(points[5], np.float64),
+        "c": np.asarray(points[11], np.float64),
+        "d": np.asarray(points[17], np.float64),
+        "center.nose.tip": np.asarray(points[int(np.argmax(points[:, 2]))], np.float64),
+    }
+    write_landmarks(data_dir / "bfm.json", model_lms)
+
+    # one "scan" = model surface in mm units (x1000) with a rigid offset
+    scans = data_dir / "scans"
+    lms_dir = data_dir / "lms"
+    os.makedirs(scans)
+    os.makedirs(lms_dir)
+    offset = np.array([7.0, -3.0, 2.0])
+    scan_pts = (np.asarray(points, np.float64) + offset) * 1000.0
+    write_ply(scans / "subject0.ply", scan_pts.astype(np.float32), cells)
+    write_landmarks(
+        lms_dir / "subject0.json",
+        {k: (v + offset) * 1000.0 for k, v in model_lms.items()},
+    )
+
+    n = prepare_bfm_dataset(
+        str(scans), str(lms_dir), str(data_dir / "bfm.json"), str(data_dir),
+        n_nose_cut=len(points) // 8, verbose=False,
+    )
+    assert n == 1
+
+    data = load_bfm_data(str(data_dir))
+    assert data.model.rank == 6
+    # aligned target should coincide with the model surface (welding may
+    # reorder vertices)
+    np.testing.assert_allclose(
+        np.sort(np.asarray(data.target.points).ravel()),
+        np.sort(points.ravel()), atol=1e-3,
+    )
+    assert data.target_partial.num_points < data.target.num_points
+    assert data.partial_boundary_mask.any()
