@@ -66,13 +66,17 @@ def main():
     dt = time.perf_counter() - t0
 
     # pooled R-hat / ESS over the coefficient traces (first 8 components)
-    coeff_trace = jnp.where(
-        records.accepted[..., None], records.coeffs, jnp.nan
-    )
-    # forward-fill is host-side; use accepted-only moments via final states +
-    # on-device split-rhat over the raw candidate traces of accepted steps
-    rhat = diagnostics.split_rhat(records.coeffs[:, args.steps // 5:, :8])
-    ess = diagnostics.ess(records.coeffs[:, args.steps // 5:, 0])
+    # jit the whole diagnostics block: the ESS lag loop would otherwise be
+    # ~100 separate eager dispatches (ruinous over a tunneled TPU)
+    @jax.jit
+    def diag(coeffs):
+        tail = coeffs[:, args.steps // 5:, :]
+        return (
+            jnp.max(diagnostics.split_rhat(tail[..., :8])),
+            diagnostics.ess(tail[..., 0]),
+        )
+
+    rhat, ess = diag(records.coeffs)
 
     out = {
         "devices": n_dev,
@@ -82,7 +86,7 @@ def main():
         "samples_per_sec_per_chip": chains * args.steps / dt / n_dev,
         "pooled_acceptance": float(stats.acceptance),
         "coeff_mean_norm": float(jnp.linalg.norm(stats.coeff_mean)),
-        "rhat_max_first8": float(jnp.max(rhat)),
+        "rhat_max_first8": float(rhat),
         "ess_coeff0": float(ess),
     }
     print(json.dumps(out))
