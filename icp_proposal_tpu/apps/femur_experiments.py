@@ -71,13 +71,28 @@ def initialise_shape_parameters(rank: int, index: int, key, variance: float = 0.
 
 
 def _batched_init_states(model, n_inits: int, key, variance: float = 0.1) -> FitState:
-    states = [
-        init_state(
-            model, coeffs=initialise_shape_parameters(model.rank, i, key, variance)
-        )
-        for i in range(n_inits)
-    ]
-    return jax.tree.map(lambda *xs: jnp.stack(xs), *states)
+    """All inits generated in ONE jitted call (a python loop of eager RNG
+    draws costs ~0.5 s per init over a tunneled TPU)."""
+    base = init_state(model)
+
+    @jax.jit
+    def gen(k):
+        def one(i):
+            coeffs = jnp.sqrt(variance) * jax.random.normal(
+                jax.random.fold_in(k, i), (model.rank,), jnp.float32
+            )
+            return jnp.where(i == 0, jnp.zeros(model.rank, jnp.float32), coeffs)
+
+        return jax.vmap(one)(jnp.arange(n_inits))
+
+    coeffs = gen(key)
+    return FitState(
+        scale=jnp.broadcast_to(jnp.asarray(base.scale), (n_inits,)),
+        rot=jnp.broadcast_to(jnp.asarray(base.rot), (n_inits, 3)),
+        trans=jnp.broadcast_to(jnp.asarray(base.trans), (n_inits, 3)),
+        center=jnp.broadcast_to(jnp.asarray(base.center), (n_inits, 3)),
+        coeffs=coeffs,
+    )
 
 
 def _run_batch(model, mixture, evaluator, init_states: FitState, n_steps: int, key):

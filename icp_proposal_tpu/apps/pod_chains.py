@@ -27,7 +27,7 @@ def main():
     import jax.numpy as jnp
 
     from icp_proposal_tpu.apps.femur import load_femur_data, make_icp_proposal_setup
-    from icp_proposal_tpu.apps.femur_experiments import initialise_shape_parameters
+    from icp_proposal_tpu.apps.femur_experiments import initialise_shape_parameters  # noqa: F401
     from icp_proposal_tpu.parallel.distributed import initialize_distributed
     from icp_proposal_tpu.parallel.runner import make_chain_mesh, run_sharded_chains
     from icp_proposal_tpu.sampling import diagnostics, mh
@@ -43,18 +43,13 @@ def main():
     ctx, mixture, evaluator = make_icp_proposal_setup(data)
     step = mh.make_mh_step(data.model, mixture, evaluator, store_params=True)
 
+    from icp_proposal_tpu.apps.femur_experiments import _batched_init_states
+
     key = jax.random.PRNGKey(args.seed)
-    states = [
-        init_state(
-            data.model,
-            coeffs=initialise_shape_parameters(
-                data.model.rank, i, key, args.init_variance
-            ),
-        )
-        for i in range(chains)
-    ]
-    states = jax.tree.map(lambda *xs: jnp.stack(xs), *states)
-    carries = jax.jit(jax.vmap(lambda s: mh.init_carry(data.model, evaluator, s, mixture)))(states)
+    states = _batched_init_states(data.model, chains, key, args.init_variance)
+    carries = jax.jit(
+        jax.vmap(lambda s: mh.init_carry(data.model, evaluator, s, mixture))
+    )(states)
     keys = jax.random.split(jax.random.fold_in(key, 7), chains)
 
     mesh = make_chain_mesh(devices)
