@@ -76,6 +76,23 @@ def run_sharded_chains(step, carries, keys, n_steps: int, mesh: Mesh,
         lp = jax.lax.psum(w * jnp.mean(final.log_post), axis_name)
         return final, records, PooledStats(acc, mean, var, lp)
 
+    if mesh.devices.size == 1:
+        # single-device fast path: collectives are identities, and shard_map
+        # hangs on some experimental single-chip platforms (tunneled axon)
+        @jax.jit
+        def single(carries, keys):
+            final, records = jax.vmap(
+                lambda c, k: mh.run_chain(step, c, k, n_steps)
+            )(carries, keys)
+            acc = jnp.mean(records.accepted[:, burn_in:].astype(jnp.float32))
+            coeffs = final.state.coeffs
+            mean = jnp.mean(coeffs, axis=0)
+            var = jnp.mean(coeffs * coeffs, axis=0) - mean * mean
+            lp = jnp.mean(final.log_post)
+            return final, records, PooledStats(acc, mean, var, lp)
+
+        return single(carries, keys)
+
     spec = P(axis_name)
     sharded = shard_map(
         shard_fn,
