@@ -306,3 +306,27 @@ def test_adaptive_scales_converge_to_target(sphere_model, sphere_target):
     )
     _, rec0 = _run(sphere_model, mixture0, evaluator, n_chains=8, n_steps=400)
     assert np.asarray(rec0.accepted).mean() < 0.05
+
+
+def test_parity_mode_chain_runs(sphere_model, sphere_target):
+    """Reference-faithful (parity=True) transition density: the chain still
+    runs and fits (it samples a slightly different distribution by design)."""
+    target, alpha_true = sphere_target
+    ctx = build_target_context(target)
+    evaluator = build_evaluator(
+        sphere_model, ctx,
+        [IndependentPointsSpec(sigma=0.5, mode="model_to_target", n_points=60)],
+    )
+    mixture = MixtureProgram(
+        nest(
+            (0.9, [(1.0, IcpSpec(direction="model", n_points=40, step_length=0.1,
+                                 noise_along_normal=2.0, tangential_noise=4.0))]),
+            (0.1, [(1.0, RandomShapeSpec(sigma=0.1))]),
+        ),
+        sphere_model, ctx, _model_boundary(sphere_model), parity=True,
+    )
+    final, records = _run(sphere_model, mixture, evaluator, n_chains=2, n_steps=300)
+    acc = np.asarray(records.accepted).mean()
+    assert 0.02 < acc <= 1.0
+    coeffs = _chain_states(records)[:, -1, :]
+    assert np.abs(coeffs - np.asarray(alpha_true)).max() < 1.0
