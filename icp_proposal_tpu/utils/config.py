@@ -98,7 +98,7 @@ class RunConfig:
 
 def build_from_config(cfg: RunConfig, model, target, model_boundary, target_boundary):
     """Materialize (ctx, mixture, evaluator) from a RunConfig."""
-    import jax.numpy as jnp
+    import numpy as np
 
     from icp_proposal_tpu.sampling.context import build_target_context
     from icp_proposal_tpu.sampling.evaluators import (
@@ -141,7 +141,7 @@ def build_from_config(cfg: RunConfig, model, target, model_boundary, target_boun
             (cfg.pose.weight, mixed_random_pose_proposal(y, p, r, tx, ty, tz))
         )
     mixture = MixtureProgram(
-        nest(*groups), model, ctx, jnp.asarray(model_boundary), parity=cfg.chain.parity
+        nest(*groups), model, ctx, np.asarray(model_boundary), parity=cfg.chain.parity
     )
 
     e = cfg.evaluator
