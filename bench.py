@@ -67,16 +67,23 @@ def main():
         lambda c, k: jax.vmap(lambda ci, ki: mh.run_chain(step, ci, ki, n_steps))(c, k)
     )
 
+    # NOTE: jax.block_until_ready alone is NOT sufficient on the tunneled
+    # axon platform — it can return before the computation has actually run,
+    # which silently inflated earlier measurements ~50×.  Fetching a scalar
+    # derived from the result forces real completion.
+    def force(x):
+        return float(jnp.sum(x.log_post))
+
     # compile + warmup
     t = time.perf_counter()
     final, records = run(carries, keys)
-    jax.block_until_ready(final)
+    force(final)
     log(f"compile+first-run ({n_chains} chains x {n_steps} steps) took "
         f"{time.perf_counter() - t:.1f}s")
 
     t0 = time.perf_counter()
     final, records = run(final, jax.vmap(lambda k: jax.random.fold_in(k, 1))(keys))
-    jax.block_until_ready(final)
+    force(final)
     dt = time.perf_counter() - t0
 
     samples_per_sec = n_chains * n_steps / dt
