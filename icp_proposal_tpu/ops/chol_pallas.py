@@ -1,0 +1,264 @@
+"""Batch-in-lanes Cholesky factor/solve Pallas kernels.
+
+The MH step factors one r×r GP-posterior precision per ICP component per
+step (SURVEY §3.1 hot loop, ``NonRigidIcpProposal.scala:152``).  XLA's
+batched ``cholesky``/``triangular_solve`` at [2048, 100, 100] cost ~27 ms /
+~8 ms per call on a v5e chip — they are blocked panel algorithms designed
+for large matrices, serialized over the small batch.  These kernels instead
+put the BATCH dimension in the vector lanes: the matrix lives as
+[r, r, BL] in VMEM and the classic scalar right-looking Cholesky /
+substitution loops become fully vectorized over BL chains per program, with
+zero inter-chain communication.
+
+Numerical form (in-place, masked-column update): at step j
+
+    d      = A[j,j]                      (Schur-complement diagonal)
+    l_col  = A[:,j] / √d                 (column j of L)
+    A     -= l_col · (A[j,:] / √d ⊙ [col>j])   (live block stays symmetric)
+    A[:,j] = l_col ⊙ [row≥j]             (finalize; upper triangle → 0)
+
+Flop count is 3× the triangular-update optimum (full-width vector ops) but
+runs at VPU rate with unit stride; at r=100, BL=64 the whole
+factor+solve+logdet costs ~r·r·r·B·3 ≈ 6 GFLOP per 2048-chain step-pair.
+"""
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_TINY = 1e-30
+
+
+def _pick_bl(r: int) -> int | None:
+    """Lanes-batch per program.  Mosaic requires the lane (last) block dim to
+    be a multiple of 128; the two [r,r,BL] f32 buffers (input block + L
+    output) dominate VMEM.  Returns None when even BL=128 would not fit
+    (~r>300) — callers fall back to XLA's batched cholesky."""
+    budget = 11 * 2 ** 20 / (2 * 4 * r * r)
+    bl = 128 * int(budget // 128)
+    if bl < 128:
+        return None
+    return int(min(512, bl))
+
+
+def _chol_kernel(r: int, bl: int):
+    """M and L stay in HBM (``pltpu.ANY``) and move through ONE [r,r,BL]
+    VMEM scratch via explicit DMA: two pipelined block windows would need
+    4·r²·BL·4 B ≈ 21 MB at r≈100 — over the ~16 MB/core VMEM budget — and
+    at ~40 flops/byte the kernel is compute-bound, so the lost DMA/compute
+    overlap is noise."""
+
+    def kernel(m_hbm, rhs_ref, l_hbm, x_ref, ld_ref, l_ref, y_ref, ild_ref,
+               sem_in, sem_out):
+        i = pl.program_id(0)
+        cp_in = pltpu.make_async_copy(
+            m_hbm.at[:, :, pl.ds(i * bl, bl)], l_ref, sem_in
+        )
+        cp_in.start()
+        cp_in.wait()
+        ld_ref[:, :] = jnp.zeros_like(ld_ref)
+        y_ref[:, :] = jnp.zeros_like(y_ref)
+        x_ref[:, :] = jnp.zeros_like(x_ref)
+        row_iota = jax.lax.broadcasted_iota(jnp.int32, (r, 1, 1), 0)
+        col_iota = jax.lax.broadcasted_iota(jnp.int32, (1, r, 1), 1)
+
+        def factor_step(j, _):
+            d = jnp.maximum(l_ref[pl.ds(j, 1), pl.ds(j, 1), :], _TINY)  # [1,1,BL]
+            inv = jax.lax.rsqrt(d)
+            l_col = l_ref[:, pl.ds(j, 1), :] * inv  # [r,1,BL]
+            l_row = l_ref[pl.ds(j, 1), :, :] * inv * (col_iota > j)  # [1,r,BL]
+            l_ref[:, :, :] = l_ref[:, :, :] - l_col * l_row
+            l_ref[:, pl.ds(j, 1), :] = l_col * (row_iota >= j)
+            ild_ref[pl.ds(j, 1), :] = inv[0]
+            ld_ref[:, :] = ld_ref[:, :] + jnp.log(d[0])
+            return 0
+
+        jax.lax.fori_loop(0, r, factor_step, 0)
+
+        def fwd_step(j, _):
+            lrow = l_ref[pl.ds(j, 1), :, :][0]  # [r,BL]; zeros right of diag
+            s = jnp.sum(lrow * y_ref[:, :], axis=0, keepdims=True)  # [1,BL]
+            # y[j] is still 0, but lrow[j] = √d ≠ 0 ⇒ s already excludes it
+            yj = (rhs_ref[pl.ds(j, 1), :] - s) * ild_ref[pl.ds(j, 1), :]
+            y_ref[pl.ds(j, 1), :] = yj
+            return 0
+
+        jax.lax.fori_loop(0, r, fwd_step, 0)
+
+        def bwd_step(jj, _):
+            j = r - 1 - jj
+            lcol = l_ref[:, pl.ds(j, 1), :][:, 0, :]  # [r,BL]; zeros above diag
+            s = jnp.sum(lcol * x_ref[:, :], axis=0, keepdims=True)
+            # lcol[j]·x[j] term: x[j] still 0; diag handled via ild
+            xj = (y_ref[pl.ds(j, 1), :] - s) * ild_ref[pl.ds(j, 1), :]
+            x_ref[pl.ds(j, 1), :] = xj
+            return 0
+
+        jax.lax.fori_loop(0, r, bwd_step, 0)
+
+        cp_out = pltpu.make_async_copy(
+            l_ref, l_hbm.at[:, :, pl.ds(i * bl, bl)], sem_out
+        )
+        cp_out.start()
+        cp_out.wait()
+
+    return kernel
+
+
+def _tri_lt_kernel(r: int):
+    """Solve Lᵀ x = z given an already-factored lower L (batch in lanes)."""
+
+    def kernel(l_ref, z_ref, x_ref):
+        x_ref[:, :] = jnp.zeros_like(x_ref)
+
+        def bwd_step(jj, _):
+            j = r - 1 - jj
+            lcol = l_ref[:, pl.ds(j, 1), :][:, 0, :]  # [r,BL]
+            d = l_ref[pl.ds(j, 1), pl.ds(j, 1), :][0]  # [1,BL]
+            s = jnp.sum(lcol * x_ref[:, :], axis=0, keepdims=True)
+            xj = (z_ref[pl.ds(j, 1), :] - s) / jnp.maximum(d, _TINY)
+            x_ref[pl.ds(j, 1), :] = xj
+            return 0
+
+        jax.lax.fori_loop(0, r, bwd_step, 0)
+
+    return kernel
+
+
+def _pad_lanes(x, bp):
+    return jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, bp - x.shape[-1])])
+
+
+def _chol_call(m_t, rhs_t, interpret=False):
+    """m_t [r,r,B], rhs_t [r,B] → (L [r,r,B], x [r,B], logdet [B])."""
+    r, _, b = m_t.shape
+    bl = _pick_bl(r)
+    bp = -(-b // bl) * bl
+    m_t = _pad_lanes(m_t, bp)
+    rhs_t = _pad_lanes(rhs_t, bp)
+    grid = (bp // bl,)
+    l_t, x_t, ld = pl.pallas_call(
+        _chol_kernel(r),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((r, r, bl), lambda i: (0, 0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((r, bl), lambda i: (0, i), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((r, r, bl), lambda i: (0, 0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((r, bl), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bl), lambda i: (0, i), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((r, r, bp), jnp.float32),
+            jax.ShapeDtypeStruct((r, bp), jnp.float32),
+            jax.ShapeDtypeStruct((1, bp), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((r, bl), jnp.float32),
+            pltpu.VMEM((r, bl), jnp.float32),
+        ],
+        # M is factored in place in the L output block (the kernel's first
+        # statement copies m→l and never reads m again): without aliasing the
+        # two double-buffered [r,r,BL] block pipelines need 4·r²·BL·4 B of
+        # VMEM — over the ~16 MB/core budget at r≈100.
+        input_output_aliases={0: 0},
+        interpret=interpret,
+    )(m_t, rhs_t)
+    return l_t[:, :, :b], x_t[:, :b], ld[0, :b]
+
+
+def _tri_lt_call(l_t, z_t, interpret=False):
+    r, _, b = l_t.shape
+    bl = _pick_bl(r)
+    bp = -(-b // bl) * bl
+    l_t = _pad_lanes(l_t, bp)
+    z_t = _pad_lanes(z_t, bp)
+    x_t = pl.pallas_call(
+        _tri_lt_kernel(r),
+        grid=(bp // bl,),
+        in_specs=[
+            pl.BlockSpec((r, r, bl), lambda i: (0, 0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((r, bl), lambda i: (0, i), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((r, bl), lambda i: (0, i), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((r, bp), jnp.float32),
+        interpret=interpret,
+    )(l_t, z_t)
+    return x_t[:, :b]
+
+
+def chol_pallas_enabled() -> bool:
+    import os
+
+    if os.environ.get("ICP_TPU_FORCE_CHOL_PALLAS") == "1":
+        return True
+    if os.environ.get("ICP_TPU_NO_CHOL_PALLAS") == "1":
+        return False
+    return jax.default_backend() == "tpu"
+
+
+def _chol_solve_ref(m, rhs):
+    chol = jnp.linalg.cholesky(m)
+    x = jax.scipy.linalg.cho_solve((chol, True), rhs)
+    logdet = 2.0 * jnp.sum(jnp.log(jnp.diagonal(chol, axis1=-2, axis2=-1)), axis=-1)
+    return chol, x, logdet
+
+
+@functools.partial(jax.custom_batching.custom_vmap)
+def chol_solve(m, rhs):
+    """(chol(M), M⁻¹rhs, log det M) for one SPD [r,r] system.
+
+    Under vmap over chains this dispatches to the batch-in-lanes Pallas
+    kernel on TPU; unbatched (and off-TPU) it falls back to XLA's
+    cholesky/cho_solve.
+    """
+    return _chol_solve_ref(m, rhs)
+
+
+@chol_solve.def_vmap
+def _chol_solve_vmap(axis_size, in_batched, m, rhs):
+    m_b, rhs_b = in_batched
+    if not m_b:
+        m = jnp.broadcast_to(m, (axis_size,) + m.shape)
+    if not rhs_b:
+        rhs = jnp.broadcast_to(rhs, (axis_size,) + rhs.shape)
+    if not chol_pallas_enabled() or _pick_bl(m.shape[-1]) is None:
+        return _chol_solve_ref(m, rhs), (True, True, True)
+    interpret = jax.default_backend() != "tpu"
+    l_t, x_t, ld = _chol_call(
+        jnp.moveaxis(m, 0, 2), jnp.moveaxis(rhs, 0, 1), interpret=interpret
+    )
+    return (jnp.moveaxis(l_t, 2, 0), jnp.moveaxis(x_t, 1, 0), ld), (True, True, True)
+
+
+@functools.partial(jax.custom_batching.custom_vmap)
+def tri_solve_lt(chol, z):
+    """Solve Lᵀ x = z for one lower-triangular [r,r] L (posterior sampling:
+    α* = α̂ + L⁻ᵀz).  Batch-in-lanes Pallas kernel under vmap on TPU."""
+    return jax.scipy.linalg.solve_triangular(chol, z, lower=True, trans=1)
+
+
+@tri_solve_lt.def_vmap
+def _tri_solve_lt_vmap(axis_size, in_batched, chol, z):
+    c_b, z_b = in_batched
+    if not c_b:
+        chol = jnp.broadcast_to(chol, (axis_size,) + chol.shape)
+    if not z_b:
+        z = jnp.broadcast_to(z, (axis_size,) + z.shape)
+    if not chol_pallas_enabled() or _pick_bl(chol.shape[-1]) is None:
+        out = jax.vmap(
+            lambda c, zz: jax.scipy.linalg.solve_triangular(c, zz, lower=True, trans=1)
+        )(chol, z)
+        return out, True
+    interpret = jax.default_backend() != "tpu"
+    x_t = _tri_lt_call(
+        jnp.moveaxis(chol, 0, 2), jnp.moveaxis(z, 0, 1), interpret=interpret
+    )
+    return jnp.moveaxis(x_t, 1, 0), True

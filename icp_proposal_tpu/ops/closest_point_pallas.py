@@ -318,42 +318,54 @@ def _surface_distances_pallas_vmap(axis_size, in_batched, queries, triangles):
 # ---------------------------------------------------------------------------
 # nearest-vertex kernel (point→point argmin; the findClosestPoint analog)
 # ---------------------------------------------------------------------------
+#
+# Two overhead killers, measured on v5e:
+#   * fat programs — each program handles GB batch elements (chains), since
+#     per-program fixed cost dominates at a few hundred queries per chain;
+#   * no inner loop — the whole [TP, Vp] distance block is computed with
+#     static full-row loads and one min/argmin reduction, because per-
+#     fori-iteration costs (dynamic slices, accumulator bookkeeping) are
+#     comparable to the ~9 distance ops of a 128-lane tile.  Vp is chunked
+#     statically only when the [TP, chunk] working set would stress VMEM.
 
-def _make_nv_kernel(pts_batched: bool, n_tiles: int):
+GB = 8  # batch elements per program
+NV_CHUNK = 4096  # lanes per static chunk (working set [TP, NV_CHUNK] ≈ 2 MB)
+
+
+def _make_nv_kernel(pts_batched: bool, gb: int, vp: int):
+    n_chunks = -(-vp // NV_CHUNK)
+
     def kernel(q_ref, v_ref, idx_ref):
-        q = tuple(q_ref[0, :, i][:, None] for i in range(3))  # [TP, 1]
+        for g in range(gb):
+            q = tuple(q_ref[g, :, i][:, None] for i in range(3))  # [TP, 1]
+            best_min = None
+            best_idx = None
+            for c in range(n_chunks):
+                lo = c * NV_CHUNK
+                w = min(NV_CHUNK, vp - lo)
 
-        def row(i, t):
-            if pts_batched:
-                return v_ref[0, i, pl.ds(t * TF, TF)][None, :]
-            return v_ref[i, pl.ds(t * TF, TF)][None, :]
+                def row(i):
+                    if pts_batched:
+                        return v_ref[g, i, lo:lo + w][None, :]
+                    return v_ref[i, lo:lo + w][None, :]
 
-        lane = jax.lax.broadcasted_iota(jnp.int32, (TP, TF), 1)
-
-        def body(t, carry):
-            run_min, run_idx = carry
-            dx = q[0] - row(0, t)
-            dy = q[1] - row(1, t)
-            dz = q[2] - row(2, t)
-            d2 = dx * dx + dy * dy + dz * dz  # [TP, TF]
-            chunk_min = jnp.min(d2, axis=1, keepdims=True)
-            arg = jnp.min(
-                jnp.where(d2 == chunk_min, lane, jnp.int32(2**30)),
-                axis=1, keepdims=True,
-            )
-            chunk_idx = t * TF + arg
-            better = chunk_min < run_min
-            return (
-                jnp.where(better, chunk_min, run_min),
-                jnp.where(better, chunk_idx, run_idx),
-            )
-
-        init = (
-            jnp.full((TP, 1), jnp.inf, jnp.float32),
-            jnp.zeros((TP, 1), jnp.int32),
-        )
-        _, run_idx = jax.lax.fori_loop(0, n_tiles, body, init)
-        idx_ref[0, 0, :, :] = run_idx
+                dx = q[0] - row(0)
+                dy = q[1] - row(1)
+                dz = q[2] - row(2)
+                d2 = dx * dx + dy * dy + dz * dz  # [TP, w]
+                lane = jax.lax.broadcasted_iota(jnp.int32, (TP, w), 1) + lo
+                chunk_min = jnp.min(d2, axis=1, keepdims=True)
+                chunk_idx = jnp.min(
+                    jnp.where(d2 == chunk_min, lane, jnp.int32(2**30)),
+                    axis=1, keepdims=True,
+                )
+                if best_min is None:
+                    best_min, best_idx = chunk_min, chunk_idx
+                else:
+                    better = chunk_min < best_min
+                    best_min = jnp.where(better, chunk_min, best_min)
+                    best_idx = jnp.where(better, chunk_idx, best_idx)
+            idx_ref[g, 0, :, :] = best_idx
 
     return kernel
 
@@ -371,30 +383,34 @@ def _nv_call(queries, pts_pack, interpret=False):
     bsz, p, _ = queries.shape
     pp = -(-p // TP) * TP
     vp = pts_pack.shape[-1]
-    qpad = jnp.pad(queries, ((0, 0), (0, pp - p), (0, 0)))
     pts_batched = pts_pack.ndim == 3
+    gb = min(GB, bsz)
+    bp = -(-bsz // gb) * gb
+    qpad = jnp.pad(queries, ((0, bp - bsz), (0, pp - p), (0, 0)))
+    if pts_batched and bp != bsz:
+        pts_pack = jnp.pad(pts_pack, ((0, bp - bsz), (0, 0), (0, 0)))
 
     if pts_batched:
-        pts_spec = pl.BlockSpec((1, 3, vp), lambda b, pt: (b, 0, 0),
+        pts_spec = pl.BlockSpec((gb, 3, vp), lambda b, pt: (b, 0, 0),
                                 memory_space=pltpu.VMEM)
     else:
         pts_spec = pl.BlockSpec((3, vp), lambda b, pt: (0, 0),
                                 memory_space=pltpu.VMEM)
 
     idx = pl.pallas_call(
-        _make_nv_kernel(pts_batched, vp // TF),
-        grid=(bsz, pp // TP),
+        _make_nv_kernel(pts_batched, gb, vp),
+        grid=(bp // gb, pp // TP),
         in_specs=[
-            pl.BlockSpec((1, TP, 3), lambda b, pt: (b, pt, 0),
+            pl.BlockSpec((gb, TP, 3), lambda b, pt: (b, pt, 0),
                          memory_space=pltpu.VMEM),
             pts_spec,
         ],
-        out_specs=pl.BlockSpec((1, 1, TP, 1), lambda b, pt: (b, pt, 0, 0),
+        out_specs=pl.BlockSpec((gb, 1, TP, 1), lambda b, pt: (b, pt, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((bsz, pp // TP, TP, 1), jnp.int32),
+        out_shape=jax.ShapeDtypeStruct((bp, pp // TP, TP, 1), jnp.int32),
         interpret=interpret,
     )(qpad, pts_pack)
-    return idx.reshape(bsz, pp)[:, :p]
+    return idx.reshape(bp, pp)[:bsz, :p]
 
 
 @functools.partial(jax.custom_batching.custom_vmap)
@@ -413,3 +429,7 @@ def _nearest_vertices_pallas_vmap(axis_size, in_batched, queries, points):
         queries = jnp.broadcast_to(queries, (axis_size,) + queries.shape)
     idx = _nv_call(queries, pack_points(points), interpret=interpret)
     return idx, True
+
+
+# the shortlist coarse stage is the same exact nearest-vertex kernel
+coarse_nearest_pallas = nearest_vertices_pallas

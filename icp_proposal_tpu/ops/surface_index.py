@@ -1,0 +1,213 @@
+"""Shortlist index for closest-point queries against a STATIC surface.
+
+TPU-native answer to scalismo's BVH-accelerated ``closestPointOnSurface``
+(reference call sites ``NonRigidIcpProposal.scala:97`` and
+``IndependentPointDistanceEvaluator.scala:43``): trees are pointer-chasing
+and data-dependent — hostile to the TPU's execution model — while the dense
+all-pairs kernel is exact but pays ~85 VPU flops for every (query, face)
+pair.  The index splits the query into
+
+  1. a *coarse* nearest-vertex pass (MXU dot-product distance form,
+     ``coarse_nearest_pallas``) over the V target vertices, and
+  2. an *exact* point→triangle cascade over a precomputed per-vertex
+     shortlist ``cand[v] = the K faces nearest to vertex v`` (by exact
+     point-triangle distance, computed offline in numpy).
+
+Stage 2 is exact; the only approximation is the shortlist itself: the true
+closest face of a query q is guaranteed found whenever it is among the K
+nearest faces of q's nearest vertex.  For well-shaped meshes at the
+reference's workload scale this holds with large margin (validated by
+``tests/test_surface_index.py`` and ``tools/validate_index.py`` on sampled
+GPMM states); K is configurable and ``ICP_TPU_NO_SHORTLIST=1`` falls back
+to the dense kernel.
+
+Flop budget per chain at the flagship femur workload (400 queries, 1,622
+vertices, 3,240 faces, K=64): dense = 400·3240·85 ≈ 110 MF on the VPU;
+index = 400·1622·3 VPU (+MXU dot) coarse + 400·64·85 ≈ 2.2 MF exact —
+an ~8× reduction of the dominant per-step cost.
+"""
+from __future__ import annotations
+
+import os
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from icp_proposal_tpu.ops.closest_point import (
+    closest_point_on_triangle,
+    surface_distances,
+)
+
+
+class SurfaceIndex(NamedTuple):
+    """Static-surface shortlist index (host numpy fields → jit constants).
+
+    ``cand_tri`` holds the K candidate faces' corner coordinates pregathered
+    per vertex ([V, K, 3, 3] flattened to [V, K·9]): one wide-row gather per
+    query replaces K small [3,3] gathers — HBM row gathers are DMA-efficient
+    only with fat rows."""
+
+    points: np.ndarray  # [V, 3]
+    tri: np.ndarray  # [F, 3, 3]
+    cand: np.ndarray  # [V, K] int32 — K nearest faces per vertex
+    cand_tri: np.ndarray  # [V, K*9] f32 — pregathered candidate triangles
+
+    @property
+    def k(self) -> int:
+        return self.cand.shape[1]
+
+
+def _np_point_tri_dist2(p: np.ndarray, tri: np.ndarray) -> np.ndarray:
+    """Exact point→triangle squared distances in numpy.
+
+    p : [N, 3]; tri : [F, 3, 3] → [N, F].  Same branchless Ericson region
+    cascade as ``closest_point.closest_point_on_triangle``.
+    """
+    a, b, c = tri[:, 0], tri[:, 1], tri[:, 2]
+    ab, ac = b - a, c - a
+    p = p[:, None, :]
+    ap, bp, cp = p - a, p - b, p - c
+
+    def dot(x, y):
+        return np.sum(x * y, axis=-1)
+
+    d1, d2_ = dot(ab, ap), dot(ac, ap)
+    d3, d4 = dot(ab, bp), dot(ac, bp)
+    d5, d6 = dot(ab, cp), dot(ac, cp)
+    va = d3 * d6 - d5 * d4
+    vb = d5 * d2_ - d1 * d6
+    vc = d1 * d4 - d3 * d2_
+
+    def safe_div(num, den):
+        return num / np.where(np.abs(den) < 1e-30, 1.0, den)
+
+    denom = safe_div(1.0, va + vb + vc)
+    v = vb * denom
+    w = vc * denom
+
+    in_bc = (va <= 0) & ((d4 - d3) >= 0) & ((d5 - d6) >= 0)
+    w_bc = safe_div(d4 - d3, (d4 - d3) + (d5 - d6))
+    v = np.where(in_bc, 1.0 - w_bc, v)
+    w = np.where(in_bc, w_bc, w)
+    in_ac = (vb <= 0) & (d2_ >= 0) & (d6 <= 0)
+    w_ac = safe_div(d2_, d2_ - d6)
+    v = np.where(in_ac, 0.0, v)
+    w = np.where(in_ac, w_ac, w)
+    in_ab = (vc <= 0) & (d1 >= 0) & (d3 <= 0)
+    v_ab = safe_div(d1, d1 - d3)
+    v = np.where(in_ab, v_ab, v)
+    w = np.where(in_ab, 0.0, w)
+    in_c = (d6 >= 0) & (d5 <= d6)
+    v = np.where(in_c, 0.0, v)
+    w = np.where(in_c, 1.0, w)
+    in_b = (d3 >= 0) & (d4 <= d3)
+    v = np.where(in_b, 1.0, v)
+    w = np.where(in_b, 0.0, w)
+    in_a = (d1 <= 0) & (d2_ <= 0)
+    v = np.where(in_a, 0.0, v)
+    w = np.where(in_a, 0.0, w)
+
+    v = np.clip(v, 0.0, 1.0)
+    w = np.clip(w, 0.0, 1.0)
+    s = v + w
+    scale = np.where(s > 1.0, 1.0 / np.maximum(s, 1e-30), 1.0)
+    v, w = v * scale, w * scale
+    cpnt = a + v[..., None] * ab + w[..., None] * ac
+    diff = p - cpnt
+    return np.sum(diff * diff, axis=-1)
+
+
+def build_surface_index(points, cells, k: int = 32,
+                        chunk: int = 256) -> SurfaceIndex:
+    """Build the shortlist index on host.  O(V·F) exact distances, chunked."""
+    points = np.asarray(points, np.float32)
+    cells = np.asarray(cells, np.int32)
+    tri = points[cells]  # [F, 3, 3]
+    v, f = points.shape[0], tri.shape[0]
+    k = min(k, f)
+    cand = np.empty((v, k), np.int32)
+    for lo in range(0, v, chunk):
+        hi = min(lo + chunk, v)
+        d2 = _np_point_tri_dist2(points[lo:hi].astype(np.float64),
+                                 tri.astype(np.float64))
+        part = np.argpartition(d2, k - 1, axis=1)[:, :k]
+        # sort shortlist by distance so ties resolve deterministically
+        order = np.argsort(np.take_along_axis(d2, part, axis=1), axis=1)
+        cand[lo:hi] = np.take_along_axis(part, order, axis=1).astype(np.int32)
+    cand_tri = tri[cand].reshape(v, k * 9).astype(np.float32)
+    return SurfaceIndex(points=points, tri=tri, cand=cand, cand_tri=cand_tri)
+
+
+def shortlist_enabled() -> bool:
+    if os.environ.get("ICP_TPU_NO_SHORTLIST") == "1":
+        return False
+    from icp_proposal_tpu.ops.closest_point import pallas_enabled
+
+    return pallas_enabled()
+
+
+def _coarse_ids(index: SurfaceIndex, queries):
+    from icp_proposal_tpu.ops.closest_point_pallas import coarse_nearest_pallas
+
+    return coarse_nearest_pallas(queries, jnp.asarray(index.points))
+
+
+def index_closest(index: SurfaceIndex, queries):
+    """(cp [P,3], d2 [P], face_idx [P]) — drop-in for
+    ``closest_points_on_surface(queries, index.tri)``; vmap-safe.
+
+    One wide-row gather fetches each query's K pregathered candidate
+    triangles ([P, K·9] rows), then the exact cascade runs vectorized over
+    [P, K]; the winner's closest point is recomputed once.
+    """
+    p = queries.shape[0]
+    nv = _coarse_ids(index, queries)  # [P]
+    faces = jnp.asarray(index.cand)[nv]  # [P, K]
+    tri_k = jnp.asarray(index.cand_tri)[nv].reshape(p, index.k, 3, 3)
+    _, d2_k = closest_point_on_triangle(
+        queries[:, None, :], tri_k[:, :, 0], tri_k[:, :, 1], tri_k[:, :, 2]
+    )  # [P, K]
+    j = jnp.argmin(d2_k, axis=1)
+    pidx = jnp.arange(p)
+    d2 = d2_k[pidx, j]
+    fidx = faces[pidx, j]
+    tri_w = tri_k[pidx, j]  # [P, 3, 3]
+    cp, _ = closest_point_on_triangle(queries, tri_w[:, 0], tri_w[:, 1], tri_w[:, 2])
+    return cp, d2, fidx
+
+
+def index_distances(index: SurfaceIndex, queries):
+    """(d2 [P], face_idx [P]) — drop-in for
+    ``surface_distances_auto(queries, index.tri)``; vmap-safe."""
+    _, d2, fidx = index_closest(index, queries)
+    return d2, fidx
+
+
+def closest_auto(queries, tri, index: SurfaceIndex | None):
+    """Dispatch: shortlist index when available/enabled, else dense kernel."""
+    if index is not None and shortlist_enabled():
+        return index_closest(index, queries)
+    from icp_proposal_tpu.ops.closest_point import closest_points_on_surface
+
+    return closest_points_on_surface(queries, tri)
+
+
+def distances_auto(queries, tri, index: SurfaceIndex | None):
+    if index is not None and shortlist_enabled():
+        return index_distances(index, queries)
+    from icp_proposal_tpu.ops.closest_point import surface_distances_auto
+
+    return surface_distances_auto(queries, tri)
+
+
+def validate_index(index: SurfaceIndex, queries, atol: float = 1e-4):
+    """Max |shortlist − dense| of distances over a query set (exactness
+    check; see module docstring).  Returns (max_abs_err, frac_mismatched)."""
+    d2_fast, _ = index_distances(index, jnp.asarray(queries, jnp.float32))
+    d2_ref, _ = surface_distances(
+        jnp.asarray(queries, jnp.float32), jnp.asarray(index.tri)
+    )
+    err = jnp.abs(jnp.sqrt(d2_fast) - jnp.sqrt(d2_ref))
+    return float(jnp.max(err)), float(jnp.mean(err > atol))

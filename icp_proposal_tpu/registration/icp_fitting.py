@@ -74,8 +74,12 @@ def icp_surface_fitting(
         cur_points = gp.instance_points(gpmm, coeffs)
 
         def model_dir():
+            from icp_proposal_tpu.ops.surface_index import closest_auto
+
             q = cur_points[model_ids]
-            cp, _, _ = closest_points_on_surface(q, target_ctx.tri)
+            cp, _, _ = closest_auto(
+                q, target_ctx.tri, getattr(target_ctx, "index", None)
+            )
             return model_ids, cp
 
         def target_dir():

@@ -17,10 +17,14 @@ class TargetContext(NamedTuple):
     cells: jax.Array  # [Ft, 3]
     tri: jax.Array  # [Ft, 3, 3]
     boundary: jax.Array  # [Vt] bool
+    # shortlist index for closest-point queries (ops/surface_index.py);
+    # None → dense streaming kernel
+    index: object = None
 
 
 def build_target_context(target: TriangleMesh, boundary_mask=None,
-                         morton_faces: bool = True) -> TargetContext:
+                         morton_faces: bool = True,
+                         index_k: int = 64) -> TargetContext:
     if boundary_mask is None:
         boundary_mask = boundary_vertex_mask(
             np.asarray(target.cells), target.num_points
@@ -33,10 +37,23 @@ def build_target_context(target: TriangleMesh, boundary_mask=None,
         # face order is semantically irrelevant; Morton order makes the
         # Pallas kernel's AABB tile culling effective
         cells = cells[morton_sort_faces(points, cells)]
+    # shortlist index: only built when the fast path can actually be used
+    # (TPU backends); tests on CPU skip the O(V·F) host build
+    from icp_proposal_tpu.ops.surface_index import (
+        build_surface_index,
+        shortlist_enabled,
+    )
+
+    index = (
+        build_surface_index(points, cells, k=index_k)
+        if shortlist_enabled()
+        else None
+    )
     # host-side numpy: baked as jit constants, no eager device dispatches
     return TargetContext(
         points=points,
         cells=np.asarray(cells, np.int32),
         tri=points[cells],
         boundary=np.asarray(boundary_mask),
+        index=index,
     )

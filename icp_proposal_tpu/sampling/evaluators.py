@@ -31,6 +31,7 @@ from icp_proposal_tpu.ops.closest_point import (
     nearest_vertex_of_faces,
     surface_distances,
 )
+from icp_proposal_tpu.ops.surface_index import closest_auto, distances_auto
 from icp_proposal_tpu.ops.surface_sampling import seeded_vertex_subset
 from icp_proposal_tpu.sampling.context import TargetContext
 from icp_proposal_tpu.sampling.state import FitState
@@ -157,7 +158,7 @@ class EvaluatorProgram:
         terms = []
         if spec.mode in ("model_to_target", "symmetric"):
             q = points[self._model_ids[spec.name]]
-            d2, _ = surface_distances_auto(q, self.ctx.tri)
+            d2, _ = distances_auto(q, self.ctx.tri, self.ctx.index)
             terms.append(("m2t", jnp.sum(gaussian_logpdf(jnp.sqrt(d2), 0.0, spec.sigma))))
         if spec.mode in ("target_to_model", "symmetric"):
             tq = self.ctx.points[self._target_ids[spec.name]]
@@ -170,14 +171,14 @@ class EvaluatorProgram:
 
     def _hausdorff(self, spec: HausdorffSpec, points):
         tri_cur = points[self.gpmm.cells]
-        d2_m2t, _ = surface_distances_auto(points, self.ctx.tri)
+        d2_m2t, _ = distances_auto(points, self.ctx.tri, self.ctx.index)
         d2_t2m, _ = surface_distances_auto(self.ctx.points, tri_cur)
         hd = jnp.sqrt(jnp.maximum(jnp.max(d2_m2t), jnp.max(d2_t2m)))
         return exponential_logpdf(hd, spec.rate)
 
     def _collective(self, spec: CollectiveAvgMaxSpec, points):
-        def masked_avg_max(queries, tri, cells, surf_points, boundary):
-            cp, d2, fidx = closest_points_on_surface(queries, tri)
+        def masked_avg_max(queries, tri, cells, surf_points, boundary, index=None):
+            cp, d2, fidx = closest_auto(queries, tri, index)
             near = nearest_vertex_of_faces(cells, fidx, cp, surf_points)
             keep = ~jnp.asarray(boundary)[near]
             d = jnp.sqrt(d2)
@@ -190,7 +191,8 @@ class EvaluatorProgram:
         if spec.mode in ("model_to_target", "symmetric"):
             q = points[self._model_ids[spec.name]]
             a, m = masked_avg_max(
-                q, self.ctx.tri, self.ctx.cells, self.ctx.points, self.ctx.boundary
+                q, self.ctx.tri, self.ctx.cells, self.ctx.points,
+                self.ctx.boundary, self.ctx.index,
             )
             avgs.append(a)
             maxs.append(m)

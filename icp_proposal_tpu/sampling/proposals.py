@@ -36,6 +36,7 @@ from icp_proposal_tpu.ops.closest_point import (
     nearest_vertex_of_faces,
     nearest_vertices,
 )
+from icp_proposal_tpu.ops.surface_index import closest_auto
 from icp_proposal_tpu.sampling.context import TargetContext
 from icp_proposal_tpu.sampling.state import FitState, pose_inverse_apply
 
@@ -228,12 +229,24 @@ class IcpComponent:
 
     def __init__(self, spec: IcpSpec, gpmm, ctx: TargetContext, model_boundary,
                  model_ids, target_ids):
+        import numpy as np
+
         self.spec = spec
         self.gpmm = gpmm
         self.ctx = ctx
         self.model_boundary = model_boundary
         self.model_ids = model_ids  # [m] sampled model vertex ids
         self.target_ids = target_ids  # [m] sampled target vertex ids
+        if spec.direction == "model":
+            # static tables for the analytic factor assembly (the model
+            # direction observes a FIXED vertex subset — reference
+            # ``NonRigidIcpProposal.scala:45,94``); host numpy → jit constants
+            q = np.asarray(gpmm.sbasis)[model_ids]  # [m, 3, r]
+            self._q_static = q.astype(np.float32)
+            self._gram_static = np.einsum(
+                "mir,mis->mrs", q.astype(np.float64), q.astype(np.float64)
+            ).astype(np.float32)
+            self._mean_static = np.asarray(gpmm.mean_disp)[model_ids]
 
     def factors(self, state: FitState, cur_points, cur_normals) -> gp.PosteriorFactors:
         spec = self.spec
@@ -242,7 +255,7 @@ class IcpComponent:
             # model vertex; boundary check on the nearest *target* vertex
             # (reference :94-109)
             q = cur_points[self.model_ids]
-            cp, _, fidx = closest_points_on_surface(q, self.ctx.tri)
+            cp, _, fidx = closest_auto(q, self.ctx.tri, self.ctx.index)
             near = nearest_vertex_of_faces(self.ctx.cells, fidx, cp, self.ctx.points)
             on_boundary = jnp.asarray(self.ctx.boundary)[near]
             ids = self.model_ids
