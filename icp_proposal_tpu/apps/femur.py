@@ -142,8 +142,13 @@ def run_icp_proposal_registration(
     json_path=None,
     seed: int = 1024,
     verbose: bool = True,
+    resume_log=None,
+    resume_mode: str = "best",
 ):
-    """End-to-end flagship run (reference ``IcpProposalRegistration.main``)."""
+    """End-to-end flagship run (reference ``IcpProposalRegistration.main``).
+
+    resume_log: restart from a previous run's JSON chain log (mode "best" =
+    MAP record, "last" = continue the chain)."""
     import jax
 
     from icp_proposal_tpu.registration.comparison import evaluate_reconstruction
@@ -160,6 +165,8 @@ def run_icp_proposal_registration(
         key=jax.random.PRNGKey(seed),
         n_chains=n_chains,
         json_path=json_path,
+        resume_log=resume_log,
+        resume_mode=resume_mode,
     )
     best_mesh = transformed_mesh(data.model, result.best_state)
     if verbose:
@@ -222,6 +229,9 @@ if __name__ == "__main__":
     p.add_argument("--components", type=int, default=50)
     p.add_argument("--chains", type=int, default=1)
     p.add_argument("--json", type=str, default=None)
+    p.add_argument("--resume-log", type=str, default=None,
+                   help="restart from a previous run's JSON chain log")
+    p.add_argument("--resume-mode", choices=["best", "last"], default="best")
     args = p.parse_args()
     if args.mode == "proposal":
         run_icp_proposal_registration(
@@ -229,6 +239,8 @@ if __name__ == "__main__":
             model_components=args.components,
             n_chains=args.chains,
             json_path=args.json,
+            resume_log=args.resume_log,
+            resume_mode=args.resume_mode,
         )
     else:
         run_deterministic_icp(

@@ -47,12 +47,14 @@ def _pick_bl(r: int) -> int | None:
     return int(min(512, bl))
 
 
-def _chol_kernel(r: int, bl: int):
-    """M and L stay in HBM (``pltpu.ANY``) and move through ONE [r,r,BL]
+def _chol_kernel(r: int, rp: int, bl: int):
+    """M and L stay in HBM (``pltpu.ANY``) and move through ONE [rp,rp,BL]
     VMEM scratch via explicit DMA: two pipelined block windows would need
     4·r²·BL·4 B ≈ 21 MB at r≈100 — over the ~16 MB/core VMEM budget — and
     at ~40 flops/byte the kernel is compute-bound, so the lost DMA/compute
-    overlap is noise."""
+    overlap is noise.  ``rp`` is r rounded up to the sublane tile (8); the
+    caller zero-pads rows/cols r..rp, which stay exactly zero through the
+    in-place factor loop (their columns are never pivoted)."""
 
     def kernel(m_hbm, rhs_ref, l_hbm, x_ref, ld_ref, l_ref, y_ref, ild_ref,
                sem_in, sem_out):
@@ -65,11 +67,16 @@ def _chol_kernel(r: int, bl: int):
         ld_ref[:, :] = jnp.zeros_like(ld_ref)
         y_ref[:, :] = jnp.zeros_like(y_ref)
         x_ref[:, :] = jnp.zeros_like(x_ref)
-        row_iota = jax.lax.broadcasted_iota(jnp.int32, (r, 1, 1), 0)
-        col_iota = jax.lax.broadcasted_iota(jnp.int32, (1, r, 1), 1)
+        row_iota = jax.lax.broadcasted_iota(jnp.int32, (rp, 1, 1), 0)
+        col_iota = jax.lax.broadcasted_iota(jnp.int32, (1, rp, 1), 1)
 
         def factor_step(j, _):
-            d = jnp.maximum(l_ref[pl.ds(j, 1), pl.ds(j, 1), :], _TINY)  # [1,1,BL]
+            d_raw = l_ref[pl.ds(j, 1), pl.ds(j, 1), :]  # [1,1,BL]
+            # Non-SPD pivot → NaN, so the Pallas path fails the same way as
+            # jnp.linalg.cholesky (MH rejects NaN states) instead of silently
+            # producing finite garbage factors.  Padded lanes (all-zero M) go
+            # NaN too; they are sliced away by the caller.
+            d = jnp.where(d_raw > 0.0, d_raw, jnp.float32(jnp.nan))
             inv = jax.lax.rsqrt(d)
             l_col = l_ref[:, pl.ds(j, 1), :] * inv  # [r,1,BL]
             l_row = l_ref[pl.ds(j, 1), :, :] * inv * (col_iota > j)  # [1,r,BL]
@@ -111,8 +118,10 @@ def _chol_kernel(r: int, bl: int):
     return kernel
 
 
-def _tri_lt_kernel(r: int):
-    """Solve Lᵀ x = z given an already-factored lower L (batch in lanes)."""
+def _tri_lt_kernel(r: int, rp: int):
+    """Solve Lᵀ x = z given an already-factored lower L (batch in lanes).
+    ``rp`` = r rounded to the sublane tile; padded rows of L/z are zero and
+    contribute nothing to the dot products."""
 
     def kernel(l_ref, z_ref, x_ref):
         x_ref[:, :] = jnp.zeros_like(x_ref)
@@ -131,67 +140,71 @@ def _tri_lt_kernel(r: int):
     return kernel
 
 
-def _pad_lanes(x, bp):
-    return jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, bp - x.shape[-1])])
-
-
 def _chol_call(m_t, rhs_t, interpret=False):
     """m_t [r,r,B], rhs_t [r,B] → (L [r,r,B], x [r,B], logdet [B])."""
     r, _, b = m_t.shape
-    bl = _pick_bl(r)
+    rp = -(-r // 8) * 8  # Mosaic sublane tile: DMA slices need dim-1 % 8 == 0
+    bl = _pick_bl(rp)
     bp = -(-b // bl) * bl
-    m_t = _pad_lanes(m_t, bp)
-    rhs_t = _pad_lanes(rhs_t, bp)
+    m_t = jnp.pad(m_t, ((0, rp - r), (0, rp - r), (0, bp - b)))
+    rhs_t = jnp.pad(rhs_t, ((0, rp - r), (0, bp - b)))
     grid = (bp // bl,)
     l_t, x_t, ld = pl.pallas_call(
-        _chol_kernel(r),
+        _chol_kernel(r, rp, bl),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((r, r, bl), lambda i: (0, 0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((r, bl), lambda i: (0, i), memory_space=pltpu.VMEM),
+            # M stays in HBM; the kernel DMAs one [rp,rp,BL] lane-slice into
+            # the single VMEM working block.  A VMEM block pipeline would need
+            # 4·r²·BL·4 B (double-buffered in + out) ≈ 21 MB at r≈100 — over
+            # the ~16 MB/core budget.
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((rp, bl), lambda i: (0, i), memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((r, r, bl), lambda i: (0, 0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((r, bl), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((rp, bl), lambda i: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, bl), lambda i: (0, i), memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((r, r, bp), jnp.float32),
-            jax.ShapeDtypeStruct((r, bp), jnp.float32),
+            jax.ShapeDtypeStruct((rp, rp, bp), jnp.float32),
+            jax.ShapeDtypeStruct((rp, bp), jnp.float32),
             jax.ShapeDtypeStruct((1, bp), jnp.float32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((r, bl), jnp.float32),
-            pltpu.VMEM((r, bl), jnp.float32),
+            pltpu.VMEM((rp, rp, bl), jnp.float32),  # l_ref: in-place factor
+            pltpu.VMEM((rp, bl), jnp.float32),  # y_ref: forward-subst solution
+            pltpu.VMEM((rp, bl), jnp.float32),  # ild_ref: 1/√d per pivot
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
         ],
-        # M is factored in place in the L output block (the kernel's first
-        # statement copies m→l and never reads m again): without aliasing the
-        # two double-buffered [r,r,BL] block pipelines need 4·r²·BL·4 B of
-        # VMEM — over the ~16 MB/core budget at r≈100.
+        # M is factored in place (the kernel DMAs m→l_ref once and never
+        # reads m again; each program owns a disjoint lane slice), so the
+        # HBM buffers can alias.
         input_output_aliases={0: 0},
         interpret=interpret,
     )(m_t, rhs_t)
-    return l_t[:, :, :b], x_t[:, :b], ld[0, :b]
+    return l_t[:r, :r, :b], x_t[:r, :b], ld[0, :b]
 
 
 def _tri_lt_call(l_t, z_t, interpret=False):
     r, _, b = l_t.shape
-    bl = _pick_bl(r)
+    rp = -(-r // 8) * 8
+    bl = _pick_bl(rp)
     bp = -(-b // bl) * bl
-    l_t = _pad_lanes(l_t, bp)
-    z_t = _pad_lanes(z_t, bp)
+    l_t = jnp.pad(l_t, ((0, rp - r), (0, rp - r), (0, bp - b)))
+    z_t = jnp.pad(z_t, ((0, rp - r), (0, bp - b)))
     x_t = pl.pallas_call(
-        _tri_lt_kernel(r),
+        _tri_lt_kernel(r, rp),
         grid=(bp // bl,),
         in_specs=[
-            pl.BlockSpec((r, r, bl), lambda i: (0, 0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((r, bl), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((rp, rp, bl), lambda i: (0, 0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((rp, bl), lambda i: (0, i), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((r, bl), lambda i: (0, i), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((r, bp), jnp.float32),
+        out_specs=pl.BlockSpec((rp, bl), lambda i: (0, i), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((rp, bp), jnp.float32),
         interpret=interpret,
     )(l_t, z_t)
-    return x_t[:, :b]
+    return x_t[:r, :b]
 
 
 def chol_pallas_enabled() -> bool:

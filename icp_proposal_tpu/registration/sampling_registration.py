@@ -67,8 +67,23 @@ class SamplingRegistration:
         n_chains: int = 1,
         json_path: Optional[str] = None,
         segment_size: Optional[int] = None,
+        resume_log: Optional[str] = None,
+        resume_mode: str = "best",
     ) -> FittingResult:
+        """Run the MH fitting.
+
+        resume_log/resume_mode: restart the chain(s) from a previous run's
+        JSON log — "best" re-seeds from the MAP record (reference usage of
+        ``getBestFittingParsFromJSON``), "last" continues from the last
+        accepted state.  An explicit ``initial_state`` wins over resume_log.
+        """
         key = key if key is not None else jax.random.PRNGKey(1024)
+        if initial_state is None and resume_log is not None:
+            initial_state = loggers.state_from_log(
+                loggers.load_log(resume_log), mode=resume_mode
+            )
+            if self.verbose:
+                print(f"[resume] starting from {resume_mode} record of {resume_log}")
         state0 = initial_state if initial_state is not None else init_state(self.gpmm)
         if jax.tree.leaves(state0)[0].ndim == 0 or state0.coeffs.ndim == 1:
             carry0 = jax.jit(

@@ -97,6 +97,27 @@ def best_fitting_record(json_records: List[dict]) -> dict:
     return max(accepted, key=lambda r: r["logvalue"]["product"])
 
 
+def state_from_log(json_records: List[dict], mode: str = "best") -> FitState:
+    """Reconstruct a resume/restart state from a chain log.
+
+    mode="best": the MAP-under-product accepted record (the reference seeds
+    further runs this way, ``getBestFittingParsFromJSON``,
+    ``JSONAcceptRejectLogger.scala:142-146``).
+    mode="last": the last accepted record — exact chain continuation
+    (rejected records carry empty parameter arrays, so the chain state at
+    the end of the log IS its last accepted record; reference
+    ``LogHelper.samplesFromLog`` back-stepping semantics).
+    """
+    if mode == "best":
+        return sample_to_state(best_fitting_record(json_records))
+    if mode == "last":
+        accepted = [r for r in json_records if r["status"]]
+        if not accepted:
+            raise ValueError("no accepted samples in log")
+        return sample_to_state(accepted[-1])
+    raise ValueError(f"unknown resume mode {mode!r} (want 'best' or 'last')")
+
+
 def samples_from_log(
     json_records: List[dict], take_every_n: int = 50, total: Optional[int] = None,
     burn_in: int = 100

@@ -247,6 +247,7 @@ class IcpComponent:
                 "mir,mis->mrs", q.astype(np.float64), q.astype(np.float64)
             ).astype(np.float32)
             self._mean_static = np.asarray(gpmm.mean_disp)[model_ids]
+            self._ref_static = np.asarray(gpmm.ref_points)[model_ids]
 
     def factors(self, state: FitState, cur_points, cur_normals) -> gp.PosteriorFactors:
         spec = self.spec
@@ -258,9 +259,25 @@ class IcpComponent:
             cp, _, fidx = closest_auto(q, self.ctx.tri, self.ctx.index)
             near = nearest_vertex_of_faces(self.ctx.cells, fidx, cp, self.ctx.points)
             on_boundary = jnp.asarray(self.ctx.boundary)[near]
-            ids = self.model_ids
-            obs_world = cp
-            normals = cur_normals[ids]
+            mask = (
+                (~on_boundary) if spec.boundary_aware else jnp.ones_like(on_boundary)
+            )
+            # STATIC observation ids → analytic assembly against precomputed
+            # per-id Gram tables: no [B,m,3,r] per-chain intermediate is ever
+            # materialized under the chain vmap
+            # (``gpmm.posterior_factors_anisotropic_static``).
+            obs_disp = pose_inverse_apply(state, cp) - jnp.asarray(self._ref_static)
+            return gp.posterior_factors_anisotropic_static(
+                self.gpmm,
+                self._q_static,
+                self._gram_static,
+                self._mean_static,
+                obs_disp,
+                cur_normals[self.model_ids],
+                spec.noise_along_normal,
+                spec.tangential_noise,
+                mask.astype(jnp.float32),
+            )
         else:
             # target→model: nearest *current-mesh* vertex for each sampled
             # target point; boundary check on the model side (reference :112-131)

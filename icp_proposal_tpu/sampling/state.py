@@ -70,8 +70,12 @@ def pose_apply(state: FitState, points: jax.Array) -> jax.Array:
 
 
 def pose_inverse_apply(state: FitState, points: jax.Array) -> jax.Array:
+    """Inverse of the scale∘pose part of the full transform: maps world-space
+    points back to the shape (model) frame.  Includes the 1/s scale so it is
+    the exact inverse of ``transformed_points``'s rigid part even when
+    scale ≠ 1 (the reference fixes scale at 1.0; this guards the trap)."""
     r = euler_matrix(state.rot)
-    return (points - state.center - state.trans) @ r + state.center
+    return (points / state.scale - state.center - state.trans) @ r + state.center
 
 
 def transformed_points(gpmm: Gpmm, state: FitState) -> jax.Array:

@@ -330,3 +330,48 @@ def test_parity_mode_chain_runs(sphere_model, sphere_target):
     assert 0.02 < acc <= 1.0
     coeffs = _chain_states(records)[:, -1, :]
     assert np.abs(coeffs - np.asarray(alpha_true)).max() < 1.0
+
+
+def test_static_factor_assembly_matches_dynamic(sphere_model, sphere_target):
+    """The model-direction ICP component assembles its GP-posterior factors
+    from precomputed per-id Gram tables (``posterior_factors_anisotropic_static``);
+    it must agree with the general dynamic-id path to fp tolerance."""
+    from icp_proposal_tpu.mesh import vertex_face_adjacency, vertex_normals_gather
+    from icp_proposal_tpu.ops.closest_point import nearest_vertex_of_faces
+    from icp_proposal_tpu.ops.surface_index import closest_auto
+    from icp_proposal_tpu.sampling.state import pose_inverse_apply, transformed_points
+
+    target, _ = sphere_target
+    ctx = build_target_context(target)
+    spec = IcpSpec(direction="model", n_points=40, step_length=0.25)
+    mix = MixtureProgram([(1.0, spec)], sphere_model, ctx,
+                         _model_boundary(sphere_model))
+    comp = mix.icp_components[0]
+
+    rng = np.random.RandomState(3)
+    s0 = init_state(sphere_model, coeffs=rng.randn(RANK).astype(np.float32))
+    s0 = s0._replace(rot=np.asarray([0.05, -0.02, 0.1], np.float32),
+                     trans=np.asarray([1.0, -2.0, 0.5], np.float32))
+    pts = transformed_points(sphere_model, s0)
+    adj = np.asarray(vertex_face_adjacency(
+        np.asarray(sphere_model.cells), sphere_model.num_points))
+    normals = vertex_normals_gather(pts, sphere_model.cells, adj)
+
+    fac_static = comp.factors(s0, pts, normals)
+
+    # dynamic-id reference path with identical observations
+    ids = jnp.asarray(comp.model_ids)
+    cp, _, fidx = closest_auto(pts[ids], ctx.tri, ctx.index)
+    near = nearest_vertex_of_faces(ctx.cells, fidx, cp, ctx.points)
+    mask = ~jnp.asarray(ctx.boundary)[near]
+    obs_disp = pose_inverse_apply(s0, cp) - jnp.asarray(sphere_model.ref_points)[ids]
+    fac_dyn = gp.posterior_factors_anisotropic(
+        sphere_model, ids, obs_disp, normals[ids],
+        spec.noise_along_normal, spec.tangential_noise, mask.astype(jnp.float32),
+    )
+    np.testing.assert_allclose(np.asarray(fac_static.alpha_hat),
+                               np.asarray(fac_dyn.alpha_hat), rtol=2e-3, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(fac_static.chol_m),
+                               np.asarray(fac_dyn.chol_m), rtol=2e-3, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(fac_static.logdet_m),
+                               np.asarray(fac_dyn.logdet_m), rtol=2e-3, atol=2e-4)
