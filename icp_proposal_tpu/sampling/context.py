@@ -24,7 +24,13 @@ class TargetContext(NamedTuple):
 
 def build_target_context(target: TriangleMesh, boundary_mask=None,
                          morton_faces: bool = True,
-                         index_k: int = 64) -> TargetContext:
+                         index_k: int = 64,
+                         build_index: bool | None = None) -> TargetContext:
+    """build_index: True/False forces the shortlist index on/off; None
+    (default) builds it iff the fast path is usable (TPU backends,
+    ``shortlist_enabled()``).  Downstream dispatch (``closest_auto``/
+    ``distances_auto``) depends ONLY on index presence, so the decision is
+    made once, here — env toggles after construction have no effect."""
     if boundary_mask is None:
         boundary_mask = boundary_vertex_mask(
             np.asarray(target.cells), target.num_points
@@ -44,11 +50,9 @@ def build_target_context(target: TriangleMesh, boundary_mask=None,
         shortlist_enabled,
     )
 
-    index = (
-        build_surface_index(points, cells, k=index_k)
-        if shortlist_enabled()
-        else None
-    )
+    if build_index is None:
+        build_index = shortlist_enabled()
+    index = build_surface_index(points, cells, k=index_k) if build_index else None
     # host-side numpy: baked as jit constants, no eager device dispatches
     return TargetContext(
         points=points,

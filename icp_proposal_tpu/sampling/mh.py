@@ -66,6 +66,8 @@ def make_mh_step(gpmm, mixture: MixtureProgram, evaluator: EvaluatorProgram,
                  store_params: bool = False):
     """Build the jitted MH step function for a fixed configuration."""
 
+    # gradient-informed components differentiate the target density itself
+    mixture.bind_target(evaluator)
     needs_normals = mixture.needs_normals()
     # static vertex→face adjacency: turns per-step normal accumulation into
     # gathers (scatter-adds serialize on TPU)
@@ -166,10 +168,13 @@ def init_carry(gpmm, evaluator: EvaluatorProgram, state: FitState,
     log_post, named = evaluator(state, pts)
     factors = ()
     if mixture is not None and mixture.icp_components:
-        normals = vertex_normals_gather(
-            pts, gpmm.cells,
-            np.asarray(vertex_face_adjacency(gpmm.cells, gpmm.num_points)),
-        )
+        mixture.bind_target(evaluator)
+        normals = None
+        if mixture.needs_normals():
+            normals = vertex_normals_gather(
+                pts, gpmm.cells,
+                np.asarray(vertex_face_adjacency(gpmm.cells, gpmm.num_points)),
+            )
         fac = mixture.anchor_factors(state, pts, normals)
         factors = tuple(fac[i] for i in sorted(fac))
     adapt_log_scales = None

@@ -107,7 +107,32 @@ class IcpSpec:
         return f"IcpProposal-{label}-{self.step_length}Step"
 
 
-ProposalSpec = Union[RandomShapeSpec, RotationSpec, TranslationSpec, IcpSpec]
+@dataclass(frozen=True)
+class MalaSpec:
+    """Gradient-informed shape proposal (MALA; beyond-reference).
+
+    α' = α + (h²/2)·∇log π(α) + h·ξ, ξ ~ N(0, I), with the exact asymmetric
+    Langevin correction.  Not expressible in the reference (Scala has no
+    autodiff over the likelihood); in JAX the gradient of the full product
+    posterior — prior + closest-point likelihood through the surface query —
+    is one reverse pass.  The target log-density is bound at step-build time
+    (``MixtureProgram.bind_target``), so the proposal always matches the
+    evaluator the chain actually samples.
+    """
+
+    step_size: float = 0.1
+
+    @property
+    def sigma(self):  # adaptive-scale hook (MixtureProgram._sigma)
+        return self.step_size
+
+    @property
+    def name(self):
+        return f"MALA-{self.step_size}"
+
+
+ProposalSpec = Union[RandomShapeSpec, RotationSpec, TranslationSpec, IcpSpec,
+                     MalaSpec]
 
 
 def mixed_proposal_icp(
@@ -155,6 +180,12 @@ def mixed_random_shape_proposal(steps=(0.1,)) -> List[Tuple[float, ProposalSpec]
     """Reference ``mixedRandomShapeProposal`` (:41-46)."""
     w = 1.0 / len(steps)
     return [(w, RandomShapeSpec(sigma=s)) for s in steps]
+
+
+def gradient_shape_proposal(step_sizes=(0.2,)) -> List[Tuple[float, ProposalSpec]]:
+    """MALA mixture over coefficient space (beyond-reference; see MalaSpec)."""
+    w = 1.0 / len(step_sizes)
+    return [(w, MalaSpec(step_size=h)) for h in step_sizes]
 
 
 def nest(*weighted_groups) -> List[Tuple[float, ProposalSpec]]:
@@ -331,6 +362,66 @@ class IcpComponent:
         return _guard(_pose_scale_equal(from_state, to_state), logp)
 
 
+class MalaComponent:
+    """Langevin shape proposal over the bound target density (MalaSpec).
+
+    Follows the same anchored-component protocol as ``IcpComponent``: the
+    per-state anchor data (here ∇log π at the state) is computed once per
+    step at the candidate and carried for the current state, so the
+    asymmetric correction q(θ|θ')/q(θ'|θ) needs no recomputation."""
+
+    def __init__(self, spec: MalaSpec, gpmm):
+        self.spec = spec
+        self.gpmm = gpmm
+        self._grad = None  # set by bind()
+
+    def bind(self, evaluator):
+        """Bind ∇log π to the product evaluator the chain samples.  Idempotent
+        per evaluator (re-binding with the same object is a no-op)."""
+        if getattr(self, "_bound_to", None) is evaluator:
+            return
+        from icp_proposal_tpu.sampling.state import transformed_points
+
+        gpmm = self.gpmm
+
+        def logpi(coeffs, state):
+            st = state._replace(coeffs=coeffs)
+            pts = transformed_points(gpmm, st)
+            return evaluator(st, pts)[0]
+
+        self._grad = jax.grad(logpi)
+        self._bound_to = evaluator
+
+    def factors(self, state: FitState, cur_points, cur_normals):
+        if self._grad is None:
+            raise RuntimeError(
+                "MalaComponent is unbound — MixtureProgram.bind_target(evaluator) "
+                "runs inside mh.make_mh_step/init_carry; construct the step via "
+                "those entry points."
+            )
+        g = self._grad(state.coeffs, state)
+        # a NaN gradient (e.g. degenerate closest-point configuration) would
+        # poison the drift; zero it — the proposal degrades to a random walk
+        # for that step and its density stays well-defined
+        return jnp.where(jnp.isfinite(g), g, 0.0)
+
+    def propose(self, key, state: FitState, g, h) -> FitState:
+        mean = state.coeffs + 0.5 * h * h * g
+        new_coeffs = mean + h * jax.random.normal(key, state.coeffs.shape)
+        return state._replace(coeffs=new_coeffs)
+
+    def log_q(self, from_state: FitState, to_state: FitState, g_from, h):
+        r = from_state.coeffs.shape[-1]
+        mean = from_state.coeffs + 0.5 * h * h * g_from
+        resid = to_state.coeffs - mean
+        logp = (
+            -0.5 * jnp.sum((resid / h) ** 2)
+            - r * jnp.log(h)
+            - 0.5 * r * _LOG_2PI
+        )
+        return _guard(_pose_scale_equal(from_state, to_state), logp)
+
+
 # ---------------------------------------------------------------------------
 # mixture program
 # ---------------------------------------------------------------------------
@@ -385,6 +476,17 @@ class MixtureProgram:
         self.adaptable = np.asarray(
             [not isinstance(s, IcpSpec) for s in self.specs], np.float32
         )
+        # per-component acceptance targets: 0.574 is optimal for Langevin
+        # proposals (Roberts & Rosenthal 1998), cfg.target (0.234) for RWs
+        self.adapt_targets = np.asarray(
+            [0.574 if isinstance(s, MalaSpec)
+             else (adapt.target if adapt is not None else 0.234)
+             for s in self.specs],
+            np.float32,
+        )
+        # "anchored" components carry per-state data through the scan carry:
+        # ICP → GP-posterior factors, MALA → ∇log π.  Kept under the historic
+        # name `icp_components` (it is what mh.py threads through the carry).
         self.icp_components = {}
         vt = int(ctx.points.shape[0])
         for i, s in enumerate(self.specs):
@@ -403,13 +505,22 @@ class MixtureProgram:
                         seeded_vertex_subset(vt, s.n_points, seed + 1),
                     )),
                 )
+            elif isinstance(s, MalaSpec):
+                self.icp_components[i] = MalaComponent(s, gpmm)
 
     @property
     def num_components(self):
         return len(self.specs)
 
     def needs_normals(self):
-        return bool(self.icp_components)
+        return any(isinstance(c, IcpComponent) for c in self.icp_components.values())
+
+    def bind_target(self, evaluator):
+        """Bind gradient-informed components to the chain's target density.
+        Called by ``mh.make_mh_step``/``mh.init_carry``; idempotent."""
+        for comp in self.icp_components.values():
+            if isinstance(comp, MalaComponent):
+                comp.bind(evaluator)
 
     # -- per-step dense computation -----------------------------------------
 
@@ -437,6 +548,10 @@ class MixtureProgram:
             k = keys[i]
             if isinstance(spec, IcpSpec):
                 cand = self.icp_components[i].propose(k, state, factors_cur[i])
+            elif isinstance(spec, MalaSpec):
+                cand = self.icp_components[i].propose(
+                    k, state, factors_cur[i], self._sigma(i, spec, scales)
+                )
             elif isinstance(spec, RandomShapeSpec):
                 eps = self._sigma(i, spec, scales) * jax.random.normal(
                     k, state.coeffs.shape
@@ -465,6 +580,11 @@ class MixtureProgram:
             if isinstance(spec, IcpSpec):
                 lq = self.icp_components[i].log_q(
                     from_state, to_state, factors_from[i], self.parity
+                )
+            elif isinstance(spec, MalaSpec):
+                lq = self.icp_components[i].log_q(
+                    from_state, to_state, factors_from[i],
+                    self._sigma(i, spec, scales),
                 )
             elif isinstance(spec, RandomShapeSpec):
                 sigma = self._sigma(i, spec, scales)
@@ -514,4 +634,6 @@ class MixtureProgram:
             jax.nn.one_hot(selected, self.num_components)
             * jnp.asarray(self.adaptable)
         )
-        return log_scales + active * gamma * onehot * (accept_prob - cfg.target)
+        return log_scales + active * gamma * onehot * (
+            accept_prob - jnp.asarray(self.adapt_targets)
+        )

@@ -375,3 +375,60 @@ def test_static_factor_assembly_matches_dynamic(sphere_model, sphere_target):
                                np.asarray(fac_dyn.chol_m), rtol=2e-3, atol=2e-4)
     np.testing.assert_allclose(np.asarray(fac_static.logdet_m),
                                np.asarray(fac_dyn.logdet_m), rtol=2e-3, atol=2e-4)
+
+
+def test_mala_preserves_prior(sphere_model, sphere_target):
+    """MALA detailed balance: with a prior-only evaluator the chain must
+    sample N(0, I) — any error in the Langevin asymmetric correction shows
+    up as variance bias."""
+    from icp_proposal_tpu.sampling.proposals import MalaSpec
+
+    target, _ = sphere_target
+    ctx = build_target_context(target)
+    evaluator = build_evaluator(sphere_model, ctx, [], include_prior=True)
+    mixture = MixtureProgram(
+        [(1.0, MalaSpec(step_size=0.8))],
+        sphere_model, ctx, _model_boundary(sphere_model),
+    )
+    _, records = _run(sphere_model, mixture, evaluator, n_chains=24, n_steps=1500)
+    acc = np.asarray(records.accepted).mean()
+    assert acc > 0.3, acc  # Langevin on a standard normal accepts generously
+    coeffs = _chain_states(records)
+    samples = coeffs[:, 500:, :].reshape(-1, RANK)
+    assert abs(samples.mean()) < 0.1
+    np.testing.assert_allclose(samples.std(axis=0), 1.0, atol=0.15)
+
+
+def test_mala_vs_rw_same_posterior_better_mixing(sphere_model, sphere_target):
+    """MALA must agree with random-walk MH on the posterior (same target) —
+    and, being gradient-informed, should mix at least as well."""
+    from icp_proposal_tpu.sampling.diagnostics import ess
+    from icp_proposal_tpu.sampling.proposals import MalaSpec
+
+    target, alpha_true = sphere_target
+    ctx = build_target_context(target)
+    evaluator = build_evaluator(
+        sphere_model, ctx,
+        [IndependentPointsSpec(sigma=1.0, mode="model_to_target", n_points=60)],
+    )
+    mix_rw = MixtureProgram(
+        [(1.0, RandomShapeSpec(sigma=0.15))],
+        sphere_model, ctx, _model_boundary(sphere_model),
+    )
+    mix_mala = MixtureProgram(
+        [(1.0, MalaSpec(step_size=0.15))],
+        sphere_model, ctx, _model_boundary(sphere_model),
+    )
+    _, rec_rw = _run(sphere_model, mix_rw, evaluator, n_chains=16, n_steps=2500, seed=1)
+    _, rec_mala = _run(sphere_model, mix_mala, evaluator, n_chains=16, n_steps=2500, seed=2)
+
+    st_rw = _chain_states(rec_rw)[:, 1000:, :]
+    st_mala = _chain_states(rec_mala)[:, 1000:, :]
+    np.testing.assert_allclose(
+        st_rw.reshape(-1, RANK).mean(axis=0),
+        st_mala.reshape(-1, RANK).mean(axis=0), atol=0.3,
+    )
+    assert st_mala.reshape(-1, RANK).mean(axis=0)[0] > 0.7
+    ess_rw = float(np.mean(np.asarray(ess(jnp.asarray(st_rw), max_lag=200))))
+    ess_mala = float(np.mean(np.asarray(ess(jnp.asarray(st_mala), max_lag=200))))
+    assert ess_mala > 0.8 * ess_rw, (ess_mala, ess_rw)

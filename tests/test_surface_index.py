@@ -73,3 +73,35 @@ def test_femur_context_roundtrip(monkeypatch, rng):
         q = pts[:: max(1, pts.shape[0] // 150)]
         max_err, frac = validate_index(index, np.asarray(q))
         assert max_err < 1e-3, (scale, max_err)
+
+
+def test_femur_adversarial_random_init(monkeypatch):
+    """VERDICT r1 item 7: shortlist exactness at random-init chain states —
+    coeffs ~ N(0, I) AND perturbed poses put queries far from the target."""
+    monkeypatch.setenv("ICP_TPU_FORCE_PALLAS", "1")
+    from icp_proposal_tpu.apps.femur import load_femur_data
+    from tools.validate_index import perturbed_queries
+
+    data = load_femur_data(model_components=50)
+    index = build_surface_index(
+        np.asarray(data.target.points, np.float32),
+        np.asarray(data.target.cells), k=64,
+    )
+    q = perturbed_queries(
+        data, jax.random.PRNGKey(3), coeff_scale=1.0, trans_mm=20.0,
+        rot_rad=0.2, n_states=4, stride=8,
+    )
+    max_err, max_rel, _ = validate_index(index, q, with_rel=True)
+    # far-query error model (surface_index.validate_index docstring): the
+    # shortlist may miss the true face for queries tens of mm out; measured
+    # bound at K=64 is <=3.5% relative / <=0.4mm absolute distance error
+    assert max_rel < 5e-2, (max_err, max_rel)
+    assert max_err < 0.5, (max_err, max_rel)
+    # near-surface states (the regime that decides the posterior) are exact
+    q_near = perturbed_queries(
+        data, jax.random.PRNGKey(5), coeff_scale=1.0, trans_mm=0.0,
+        rot_rad=0.0, n_states=4, stride=8,
+    )
+    max_err_n, frac_n = validate_index(index, q_near)
+    assert max_err_n < 1e-3, max_err_n
+    assert frac_n == 0.0

@@ -30,11 +30,13 @@ import numpy as np
 
 
 def _setup(data, parity, step_length, noise_normal, tangential, rw_sigma=0.1,
-           icp_weight=0.9):
+           icp_weight=0.9, mala_weight=0.0, mala_h=0.2, adapt=False):
     from icp_proposal_tpu.sampling.context import build_target_context
     from icp_proposal_tpu.sampling.evaluators import proximity_and_independent
     from icp_proposal_tpu.sampling.proposals import (
+        AdaptConfig,
         MixtureProgram,
+        gradient_shape_proposal,
         mixed_proposal_icp,
         mixed_random_shape_proposal,
         nest,
@@ -42,21 +44,24 @@ def _setup(data, parity, step_length, noise_normal, tangential, rw_sigma=0.1,
 
     model = data.model
     ctx = build_target_context(data.target, data.target_boundary_mask)
+    groups = []
     if icp_weight > 0:
-        weighted = nest(
-            (icp_weight, mixed_proposal_icp(
-                n_points=2 * model.rank,
-                projection_direction="model_and_target",
-                tangential_noise=tangential,
-                noise_along_normal=noise_normal,
-                step_length=step_length,
-            )),
-            (1.0 - icp_weight, mixed_random_shape_proposal((rw_sigma,))),
-        )
-    else:
-        weighted = mixed_random_shape_proposal((rw_sigma,))
+        groups.append((icp_weight, mixed_proposal_icp(
+            n_points=2 * model.rank,
+            projection_direction="model_and_target",
+            tangential_noise=tangential,
+            noise_along_normal=noise_normal,
+            step_length=step_length,
+        )))
+    if mala_weight > 0:
+        groups.append((mala_weight, gradient_shape_proposal((mala_h,))))
+    rw_weight = 1.0 - icp_weight - mala_weight
+    if rw_weight > 0:
+        groups.append((rw_weight, mixed_random_shape_proposal((rw_sigma,))))
+    weighted = nest(*groups) if len(groups) > 1 else groups[0][1]
     mixture = MixtureProgram(
-        weighted, model, ctx, np.asarray(data.model_boundary_mask), parity=parity
+        weighted, model, ctx, np.asarray(data.model_boundary_mask), parity=parity,
+        adapt=AdaptConfig() if adapt else None,
     )
     evaluator = proximity_and_independent(
         model, ctx, mode="model_to_target", sigma=2.0, n_points=4 * model.rank
@@ -182,6 +187,17 @@ def main():
                noise_normal=nn, tangential=tg)
         go("exact-s1.0-n2-t4", parity=False, step_length=1.0,
            noise_normal=2.0, tangential=4.0)
+        # gradient-informed (beyond-reference): MALA-only and MALA+ICP hybrid,
+        # step size self-tuned toward 0.574 acceptance
+        go("mala-adapt", parity=False, step_length=0.1, noise_normal=5.0,
+           tangential=10.0, icp_weight=0.0, mala_weight=1.0, mala_h=0.1,
+           adapt=True)
+        go("mala0.5+rw-adapt", parity=False, step_length=0.1, noise_normal=5.0,
+           tangential=10.0, icp_weight=0.0, mala_weight=0.5, mala_h=0.1,
+           adapt=True)
+        go("icp0.5+mala0.4-adapt", parity=False, step_length=0.1,
+           noise_normal=5.0, tangential=10.0, icp_weight=0.5, mala_weight=0.4,
+           mala_h=0.1, adapt=True)
 
     os.makedirs(os.path.dirname(args.out), exist_ok=True)
     with open(args.out, "w") as f:

@@ -27,6 +27,24 @@ def main():
 
     data = load_femur_data(components)
     ctx, mixture, evaluator = make_icp_proposal_setup(data)
+
+    # shortlist-index exactness guard (ADVICE r1): every quality run records
+    # the index-vs-dense error on prior-draw states before trusting the chain
+    index_check = None
+    if ctx.index is not None:
+        from icp_proposal_tpu.models import gpmm as gp
+        from icp_proposal_tpu.ops.surface_index import validate_index
+
+        key = jax.random.PRNGKey(7)
+        pts = gp.instance_points(
+            data.model, jax.random.normal(key, (data.model.rank,))
+        )
+        max_err, max_rel, frac = validate_index(
+            ctx.index, np.asarray(pts)[::4], with_rel=True
+        )
+        index_check = {"max_abs_err_mm": max_err, "max_rel_err": max_rel,
+                       "frac_mismatched": frac}
+        print(f"[quality] index check: {index_check}")
     reg = SamplingRegistration(
         data.model, data.target, mixture, evaluator,
         accept_info_interval=2000, verbose=True,
@@ -74,6 +92,7 @@ def main():
         "posterior_sd_mean": float(posterior_sd.mean()),
         "posterior_num_thinned": post["num_samples"],
         "variability_total_max": float(post["variability_total"].max()),
+        "index_check": index_check,
     }
     with open(os.path.join(OUT_DIR, "quality_femur.json"), "w") as f:
         json.dump(summary, f, indent=2)
