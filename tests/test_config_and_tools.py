@@ -96,3 +96,22 @@ def test_pod_chains_cli_tiny():
     assert stats["chains"] == 8
     assert 0.0 <= stats["pooled_acceptance"] <= 1.0
     assert np.isfinite(stats["rhat_max_first8"])
+
+
+def test_reference_baseline_port_runs():
+    """The measured single-core CPU baseline port executes and reports a
+    plausible rate (it anchors bench.py's vs_baseline)."""
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    out = subprocess.run(
+        [sys.executable, "tools/reference_baseline_port.py",
+         "--components", "50", "--steps", "20",
+         "--out", "/tmp/cpu_baseline_test.json"],
+        capture_output=True, text=True, timeout=500, env=env,
+        cwd="/root/repo",
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    res = json.loads(out.stdout.strip().splitlines()[-1])
+    assert res["value"] > 1.0  # sane single-core rate
+    assert 0.0 <= res["acceptance"] <= 1.0
+    assert res["threads"]["OMP_NUM_THREADS"] == "1"
