@@ -60,6 +60,43 @@ def dice_coefficient(mesh_a: TriangleMesh, mesh_b: TriangleMesh, key=None,
     return 2.0 * inter / jnp.maximum(total, 1)
 
 
+def dice_coefficient_voxel(mesh_a: TriangleMesh, mesh_b: TriangleMesh,
+                           grid_n: int = 48, chunk: int = 8192):
+    """Volumetric Dice on a regular voxel grid — the scalismo convention
+    (``MeshMetrics.diceCoefficient`` rasterizes both meshes into a binary
+    image and counts voxels).  Voxel centers on a uniform grid_n³ lattice
+    over the joint bounding box; inside tests via winding numbers, chunked
+    to bound the [P, F] working set.
+
+    Exists to *quantify* the discretization gap between scalismo's
+    voxelization and our Monte-Carlo ``dice_coefficient`` (same quantity,
+    different quadrature — see tests/test_foundations.py's analytic
+    two-sphere check)."""
+    import jax
+
+    from icp_proposal_tpu.ops.inside import winding_numbers
+
+    lo = jnp.minimum(jnp.min(mesh_a.points, axis=0), jnp.min(mesh_b.points, axis=0))
+    hi = jnp.maximum(jnp.max(mesh_a.points, axis=0), jnp.max(mesh_b.points, axis=0))
+    # voxel CENTERS: offset half a cell like an image rasterization
+    ax = [lo[i] + (hi[i] - lo[i]) * (jnp.arange(grid_n) + 0.5) / grid_n
+          for i in range(3)]
+    gx, gy, gz = jnp.meshgrid(*ax, indexing="ij")
+    pts = jnp.stack([gx.ravel(), gy.ravel(), gz.ravel()], axis=-1)  # [n³, 3]
+    n = pts.shape[0]
+    pad = (-n) % chunk
+    pts = jnp.pad(pts, ((0, pad), (0, 0)), constant_values=1e6)
+    tri_a, tri_b = mesh_a.triangles(), mesh_b.triangles()
+
+    def one(chunk_pts):
+        ina = winding_numbers(chunk_pts, tri_a) > 0.5
+        inb = winding_numbers(chunk_pts, tri_b) > 0.5
+        return jnp.sum(ina & inb), jnp.sum(ina) + jnp.sum(inb)
+
+    inter, total = jax.lax.map(one, pts.reshape(-1, chunk, 3))
+    return 2.0 * jnp.sum(inter) / jnp.maximum(jnp.sum(total), 1)
+
+
 def avg_and_max_distance_boundary_aware(
     mesh_a: TriangleMesh, mesh_b: TriangleMesh, boundary_mask_b
 ):
