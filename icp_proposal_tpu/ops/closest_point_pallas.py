@@ -433,3 +433,125 @@ def _nearest_vertices_pallas_vmap(axis_size, in_batched, queries, points):
 
 # the shortlist coarse stage is the same exact nearest-vertex kernel
 coarse_nearest_pallas = nearest_vertices_pallas
+
+
+# ---------------------------------------------------------------------------
+# shortlist refine kernel (exact point→triangle over K pregathered candidates)
+# ---------------------------------------------------------------------------
+#
+# The jnp [B, P, K] cascade was the measured hot spot of the whole MH step
+# (~77 of 96 ms at B=2048, P=400 — tools/micro_index.py): XLA materializes
+# the cascade temporaries ([B,P,K] each, ~10 of them) through HBM.  Here the
+# cascade runs on [TP, K] tiles entirely in VMEM.  Candidate triangles come
+# in COMPONENT-MAJOR rows (``SurfaceIndex.cand_tri``: [P, 9·K] with layout
+# ax[K] ay[K] az[K] bx[K] ... cz[K]) so the nine in-kernel component slices
+# are lane-contiguous.
+
+
+RGB = 8  # batch elements per refine program (fat programs: DMA-bound, not
+#          program-overhead-bound)
+
+
+def _make_refine_kernel(k: int, gb: int):
+    def kernel(q_ref, trik_ref, faces_ref, fidx_ref, wtri_ref):
+        for g in range(gb):
+            q = tuple(q_ref[g, :, i][:, None] for i in range(3))  # [TP, 1]
+
+            def comp(i):
+                return trik_ref[g, :, i * k:(i + 1) * k]  # [TP, K]
+
+            corners = tuple(comp(i) for i in range(9))
+            a, b, c = corners[0:3], corners[3:6], corners[6:9]
+            d2 = _tile_dist2(q, a, b, c)  # [TP, K]
+            best = jnp.min(d2, axis=1, keepdims=True)
+            # first winning lane (tie-safe: face id and coords must come from
+            # the SAME lane)
+            lane = jax.lax.broadcasted_iota(jnp.int32, d2.shape, 1)
+            kidx = jnp.min(jnp.where(d2 == best, lane, jnp.int32(2**30)),
+                           axis=1, keepdims=True)
+            onehot = lane == kidx  # [TP, K], exactly one lane set
+            # winner FACE id selected in-lane (a take_along_axis outside the
+            # kernel measured 13 ms at B=2048 — XLA lowers batched
+            # along-axis gathers catastrophically)
+            fidx_ref[g, 0, :, :] = jnp.min(
+                jnp.where(onehot, faces_ref[g, :, :], jnp.int32(2**30)),
+                axis=1, keepdims=True,
+            )
+            sel = onehot.astype(jnp.float32)
+            for i in range(9):
+                wtri_ref[g, 0, :, i:i + 1] = jnp.sum(
+                    corners[i] * sel, axis=1, keepdims=True
+                )
+
+    return kernel
+
+
+def _refine_call(queries, trik, faces, k: int, interpret=False):
+    """queries [B, P, 3], trik [B, P, 9·k] component-major, faces [B, P, k]
+    → (fidx [B, P] i32, wtri [B, P, 9] f32 winner coords)."""
+    bsz, p, _ = queries.shape
+    pp = -(-p // TP) * TP
+    gb = min(RGB, bsz)
+    bp = -(-bsz // gb) * gb
+    qpad = jnp.pad(queries, ((0, bp - bsz), (0, pp - p), (0, 0)))
+    tpad = jnp.pad(trik, ((0, bp - bsz), (0, pp - p), (0, 0)),
+                   constant_values=_FAR)
+    fpad = jnp.pad(faces, ((0, bp - bsz), (0, pp - p), (0, 0)))
+    fidx, wtri = pl.pallas_call(
+        _make_refine_kernel(k, gb),
+        grid=(bp // gb, pp // TP),
+        in_specs=[
+            pl.BlockSpec((gb, TP, 3), lambda b, pt: (b, pt, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((gb, TP, 9 * k), lambda b, pt: (b, pt, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((gb, TP, k), lambda b, pt: (b, pt, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((gb, 1, TP, 1), lambda b, pt: (b, pt, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((gb, 1, TP, 9), lambda b, pt: (b, pt, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bp, pp // TP, TP, 1), jnp.int32),
+            jax.ShapeDtypeStruct((bp, pp // TP, TP, 9), jnp.float32),
+        ],
+        interpret=interpret,
+    )(qpad, tpad, fpad)
+    return (
+        fidx.reshape(bp, pp)[:bsz, :p],
+        wtri.reshape(bp, pp, 9)[:bsz, :p],
+    )
+
+
+@functools.partial(jax.custom_batching.custom_vmap)
+def refine_shortlist_pallas(queries, trik, faces):
+    """(queries [P,3], trik [P, 9·K] component-major, faces [P, K]) →
+    (winner face id [P] i32, winner triangle coords [P, 9] f32).  Exact
+    (same cascade as the dense kernel); the caller recomputes the winner's
+    closest point/d2 once in jnp so gradients flow through a single
+    differentiable evaluation."""
+    k = trik.shape[-1] // 9
+    interpret = jax.default_backend() != "tpu"
+    fidx, wtri = _refine_call(queries[None], trik[None], faces[None], k,
+                              interpret=interpret)
+    return fidx[0], wtri[0]
+
+
+@refine_shortlist_pallas.def_vmap
+def _refine_shortlist_vmap(axis_size, in_batched, queries, trik, faces):
+    q_batched, t_batched, f_batched = in_batched
+    if not q_batched:
+        queries = jnp.broadcast_to(queries, (axis_size,) + queries.shape)
+    if not t_batched:
+        trik = jnp.broadcast_to(trik, (axis_size,) + trik.shape)
+    if not f_batched:
+        faces = jnp.broadcast_to(faces, (axis_size,) + faces.shape)
+    k = trik.shape[-1] // 9
+    interpret = jax.default_backend() != "tpu"
+    return (
+        _refine_call(queries, trik, faces, k, interpret=interpret),
+        (True, True),
+    )

@@ -47,14 +47,16 @@ class SurfaceIndex(NamedTuple):
     """Static-surface shortlist index (host numpy fields → jit constants).
 
     ``cand_tri`` holds the K candidate faces' corner coordinates pregathered
-    per vertex ([V, K, 3, 3] flattened to [V, K·9]): one wide-row gather per
-    query replaces K small [3,3] gathers — HBM row gathers are DMA-efficient
-    only with fat rows."""
+    per vertex in COMPONENT-MAJOR rows ([V, 9·K]: ax[K] ay[K] az[K] bx ...
+    cz[K]): one wide-row gather per query replaces K small [3,3] gathers —
+    HBM row gathers are DMA-efficient only with fat rows — and the layout
+    makes the refine kernel's nine component slices lane-contiguous
+    (``closest_point_pallas.refine_shortlist_pallas``)."""
 
     points: np.ndarray  # [V, 3]
     tri: np.ndarray  # [F, 3, 3]
     cand: np.ndarray  # [V, K] int32 — K nearest faces per vertex
-    cand_tri: np.ndarray  # [V, K*9] f32 — pregathered candidate triangles
+    cand_tri: np.ndarray  # [V, 9*K] f32 — pregathered, component-major
 
     @property
     def k(self) -> int:
@@ -150,7 +152,10 @@ def build_surface_index(points, cells, k: int = 32,
             # sort shortlist by distance so ties resolve deterministically
             order = np.argsort(np.take_along_axis(d2, part, axis=1), axis=1)
             cand[lo:hi] = np.take_along_axis(part, order, axis=1).astype(np.int32)
-    cand_tri = tri[cand].reshape(v, k * 9).astype(np.float32)
+    # component-major: [V, K, 3, 3] → [V, (corner, axis), K] → [V, 9·K]
+    cand_tri = np.ascontiguousarray(
+        tri[cand].transpose(0, 2, 3, 1).reshape(v, 9 * k).astype(np.float32)
+    )
     return SurfaceIndex(points=points, tri=tri, cand=cand, cand_tri=cand_tri)
 
 
@@ -178,22 +183,26 @@ def index_closest(index: SurfaceIndex, queries):
     ``closest_points_on_surface(queries, index.tri)``; vmap-safe.
 
     One wide-row gather fetches each query's K pregathered candidate
-    triangles ([P, K·9] rows), then the exact cascade runs vectorized over
-    [P, K]; the winner's closest point is recomputed once.
+    triangles (component-major [P, 9·K] rows), the winner slot comes from
+    the VMEM-resident Pallas refine kernel (the jnp [P, K] cascade was the
+    measured hot spot of the whole MH step — XLA pushed its ~10 cascade
+    temporaries through HBM), and the winner's closest point/distance is
+    recomputed once in jnp — the only evaluation gradients flow through
+    (the winner id is piecewise-constant in the query, so stopping
+    gradients through the kernel is exact a.e.).
     """
-    p = queries.shape[0]
+    from icp_proposal_tpu.ops.closest_point_pallas import refine_shortlist_pallas
+
     nv = _coarse_ids(index, queries)  # [P]
     faces = jnp.asarray(index.cand)[nv]  # [P, K]
-    tri_k = jnp.asarray(index.cand_tri)[nv].reshape(p, index.k, 3, 3)
-    _, d2_k = closest_point_on_triangle(
-        queries[:, None, :], tri_k[:, :, 0], tri_k[:, :, 1], tri_k[:, :, 2]
-    )  # [P, K]
-    j = jnp.argmin(d2_k, axis=1)
-    pidx = jnp.arange(p)
-    d2 = d2_k[pidx, j]
-    fidx = faces[pidx, j]
-    tri_w = tri_k[pidx, j]  # [P, 3, 3]
-    cp, _ = closest_point_on_triangle(queries, tri_w[:, 0], tri_w[:, 1], tri_w[:, 2])
+    trik = jnp.asarray(index.cand_tri)[nv]  # [P, 9K] component-major
+    fidx, wtri = refine_shortlist_pallas(
+        jax.lax.stop_gradient(queries), jax.lax.stop_gradient(trik), faces
+    )  # [P], [P, 9]
+    # elementwise winner recompute — no gathers, differentiable in queries
+    cp, d2 = closest_point_on_triangle(
+        queries, wtri[:, 0:3], wtri[:, 3:6], wtri[:, 6:9]
+    )
     return cp, d2, fidx
 
 

@@ -113,3 +113,24 @@ scan_time("+tri", f_tri)
 scan_time("onehot-tri", f_onehot)
 scan_time("full", f_full)
 scan_time("dense", f_dense)
+
+
+# finer stages of the new index_closest path
+from icp_proposal_tpu.ops.closest_point_pallas import refine_shortlist_pallas  # noqa: E402
+from icp_proposal_tpu.ops.closest_point import closest_point_on_triangle  # noqa: E402
+from icp_proposal_tpu.ops.surface_index import _coarse_ids  # noqa: E402
+
+
+def f_refine(q):
+    def one(qi):
+        nv = _coarse_ids(index, qi)
+        faces = cand[nv]
+        trik = cand_tri[nv]
+        fidx, wtri = refine_shortlist_pallas(qi, trik, faces)
+        return fidx
+    fi = jax.vmap(one)(q)
+    return perturb(q, jnp.sum(fi).astype(jnp.float32))
+
+
+if os.environ.get("FINE", "0") == "1":
+    scan_time("refine(fidx)", f_refine)
