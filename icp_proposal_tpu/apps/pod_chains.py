@@ -21,7 +21,17 @@ def main():
     p.add_argument("--components", type=int, default=100)
     p.add_argument("--seed", type=int, default=1024)
     p.add_argument("--init-variance", type=float, default=0.1)
+    p.add_argument("--host-diagnostics", action="store_true",
+                   help="also gather the coefficient traces and recompute "
+                        "R-hat/ESS on host (cross-check of the collective-"
+                        "pooled values; costs the full records transfer)")
+    p.add_argument("--out", type=str, default=None,
+                   help="also write the result JSON to this path")
     args = p.parse_args()
+
+    from icp_proposal_tpu.parallel.distributed import raise_cpu_collective_timeouts
+
+    raise_cpu_collective_timeouts()  # no-op unless a CPU mesh; pre-backend
 
     import jax
     import jax.numpy as jnp
@@ -57,34 +67,50 @@ def main():
     final, records, stats = run_sharded_chains(
         step, carries, keys, args.steps, mesh, burn_in=args.steps // 5
     )
-    jax.block_until_ready(stats)
+    # materialize only the pooled scalars — on the tunneled axon platform
+    # block_until_ready alone can return early; fetching forces completion
+    pooled_acc = float(stats.acceptance)
+    rhat_max = float(jnp.max(stats.rhat))
+    ess_c0 = float(stats.ess)
     dt = time.perf_counter() - t0
-
-    # pooled R-hat / ESS over the coefficient traces (first 8 components)
-    # jit the whole diagnostics block: the ESS lag loop would otherwise be
-    # ~100 separate eager dispatches (ruinous over a tunneled TPU)
-    @jax.jit
-    def diag(coeffs):
-        tail = coeffs[:, args.steps // 5:, :]
-        return (
-            jnp.max(diagnostics.split_rhat(tail[..., :8])),
-            diagnostics.ess(tail[..., 0]),
-        )
-
-    rhat, ess = diag(records.coeffs)
 
     out = {
         "devices": n_dev,
         "chains": chains,
         "steps": args.steps,
+        "components": args.components,
         "samples_per_sec": chains * args.steps / dt,
         "samples_per_sec_per_chip": chains * args.steps / dt / n_dev,
-        "pooled_acceptance": float(stats.acceptance),
+        "pooled_acceptance": pooled_acc,
         "coeff_mean_norm": float(jnp.linalg.norm(stats.coeff_mean)),
-        "rhat_max_first8": float(rhat),
-        "ess_coeff0": float(ess),
+        # R-hat/ESS pooled INSIDE run_sharded_chains via psum moment sums —
+        # the [chains, steps, rank] traces never leave their shard
+        "rhat_max_first8": rhat_max,
+        "ess_coeff0": ess_c0,
+        "diagnostics_via": "collectives",
     }
+
+    if args.host_diagnostics:
+        # cross-check: gather the full traces and recompute on host formulas
+        @jax.jit
+        def diag(coeffs):
+            tail = coeffs[:, args.steps // 5:, :]
+            return (
+                jnp.max(diagnostics.split_rhat(tail[..., :8])),
+                diagnostics.ess(tail[..., 0]),
+            )
+
+        h_rhat, h_ess = diag(records.coeffs)
+        out["host_rhat_max_first8"] = float(h_rhat)
+        out["host_ess_coeff0"] = float(h_ess)
+
     print(json.dumps(out))
+    if args.out:
+        import os
+
+        os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
+        with open(args.out, "w") as f:
+            json.dump(out, f, indent=1)
 
 
 if __name__ == "__main__":

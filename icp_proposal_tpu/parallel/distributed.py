@@ -14,6 +14,22 @@ from typing import Optional
 import jax
 
 
+def raise_cpu_collective_timeouts(warn: int = 600, terminate: int = 1200) -> None:
+    """On a virtual CPU mesh the device "threads" timeshare the physical
+    cores, so shards can reach a pooled-diagnostics all-reduce minutes
+    apart on small hosts; XLA's CPU rendezvous kills the process after 40 s
+    of skew by default.  Must run BEFORE the backend initializes (the flags
+    are parsed at backend creation)."""
+    flags = os.environ.get("XLA_FLAGS", "")
+    for f in (
+        f"--xla_cpu_collective_call_warn_stuck_timeout_seconds={warn}",
+        f"--xla_cpu_collective_call_terminate_timeout_seconds={terminate}",
+    ):
+        if f.split("=")[0] not in flags:
+            flags += " " + f
+    os.environ["XLA_FLAGS"] = flags.strip()
+
+
 def initialize_distributed(
     coordinator_address: Optional[str] = None,
     num_processes: Optional[int] = None,

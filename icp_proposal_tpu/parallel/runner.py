@@ -27,6 +27,7 @@ from jax import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from icp_proposal_tpu.sampling import mh
+from icp_proposal_tpu.sampling.diagnostics import pooled_ess, pooled_split_rhat
 
 
 class PooledStats(NamedTuple):
@@ -36,6 +37,11 @@ class PooledStats(NamedTuple):
     coeff_mean: jax.Array  # [r] pooled posterior mean of coefficients
     coeff_var: jax.Array  # [r] pooled posterior variance (between+within)
     log_post_mean: jax.Array  # []
+    # convergence diagnostics over the post-burn-in coefficient traces,
+    # pooled via psum moment sums (present only when the step records
+    # coefficients, i.e. store_params=True)
+    rhat: jax.Array | None = None  # [k] split-R̂ of first k coefficients
+    ess: jax.Array | None = None  # [] ESS of coefficient 0
 
 
 def make_chain_mesh(devices=None, axis_name: str = "chains") -> Mesh:
@@ -46,13 +52,29 @@ def make_chain_mesh(devices=None, axis_name: str = "chains") -> Mesh:
 
 
 def run_sharded_chains(step, carries, keys, n_steps: int, mesh: Mesh,
-                       axis_name: str = "chains", burn_in: int = 0):
+                       axis_name: str = "chains", burn_in: int = 0,
+                       diag_coeffs: int = 8):
     """Run vmapped chains sharded over the mesh; returns (final carries,
     records, PooledStats).  Per-shard: scan over steps inside one program;
     diagnostics pooled with ``psum`` over the chain axis (rides ICI on a real
-    slice — SURVEY §5.8 north-star mapping)."""
+    slice — SURVEY §5.8 north-star mapping).
+
+    When the step records coefficients (store_params=True), split-R̂ over the
+    first ``diag_coeffs`` coefficients and ESS of coefficient 0 are pooled
+    inside the shard via psum moment sums — the [C, T, r] traces never leave
+    their shard for diagnostics.
+    """
 
     n_chains = jax.tree.leaves(carries)[0].shape[0]
+
+    def _diag(records, axis):
+        if records.coeffs is None:
+            return None, None
+        tail = records.coeffs[:, burn_in:, :diag_coeffs]
+        return (
+            pooled_split_rhat(tail, axis),
+            pooled_ess(tail[..., 0], axis),
+        )
 
     def shard_fn(carries, keys):
         final, records = jax.vmap(
@@ -74,7 +96,8 @@ def run_sharded_chains(step, carries, keys, n_steps: int, mesh: Mesh,
         sq = jax.lax.psum(w * jnp.mean(coeffs * coeffs, axis=0), axis_name)
         var = sq - mean * mean
         lp = jax.lax.psum(w * jnp.mean(final.log_post), axis_name)
-        return final, records, PooledStats(acc, mean, var, lp)
+        rhat, ess = _diag(records, axis_name)
+        return final, records, PooledStats(acc, mean, var, lp, rhat, ess)
 
     if mesh.devices.size == 1:
         # single-device fast path: collectives are identities, and shard_map
@@ -89,7 +112,8 @@ def run_sharded_chains(step, carries, keys, n_steps: int, mesh: Mesh,
             mean = jnp.mean(coeffs, axis=0)
             var = jnp.mean(coeffs * coeffs, axis=0) - mean * mean
             lp = jnp.mean(final.log_post)
-            return final, records, PooledStats(acc, mean, var, lp)
+            rhat, ess = _diag(records, None)
+            return final, records, PooledStats(acc, mean, var, lp, rhat, ess)
 
         return single(carries, keys)
 

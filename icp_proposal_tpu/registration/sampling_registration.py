@@ -208,6 +208,14 @@ class SamplingRegistration:
 
     def _extract_best(self, records):
         acc = np.asarray(records.accepted)  # [C, T]
+        if not acc.any():
+            # argmax over all -inf would silently return step-0 garbage;
+            # fail loudly like loggers.best_fitting_record (reference
+            # getBestFittingParsFromJSON semantics, JSONAcceptRejectLogger.scala:142-146)
+            raise ValueError(
+                "no accepted sample in any chain — cannot extract a best "
+                "(MAP) state; run longer or loosen the evaluator"
+            )
         logv = np.where(acc, np.asarray(records.log_product), -np.inf)
         c, t = np.unravel_index(np.argmax(logv), logv.shape)
         coeffs = jnp.asarray(records.coeffs[c, t])

@@ -170,8 +170,14 @@ class EvaluatorProgram:
         return terms[0][1]
 
     def _hausdorff(self, spec: HausdorffSpec, points):
+        # Max statistics are routed through the DENSE kernel, never the K-NN
+        # shortlist index: a Hausdorff likelihood is maximally sensitive to
+        # the single worst query, and the shortlist is only exact in the
+        # near-surface regime (artifacts/index_validation.json quantifies
+        # far-regime misses).  The reference's BVH queries are exact
+        # (``HausdorffDistanceEvaluator.scala:33-34``).
         tri_cur = points[self.gpmm.cells]
-        d2_m2t, _ = distances_auto(points, self.ctx.tri, self.ctx.index)
+        d2_m2t, _ = surface_distances_auto(points, self.ctx.tri)
         d2_t2m, _ = surface_distances_auto(self.ctx.points, tri_cur)
         hd = jnp.sqrt(jnp.maximum(jnp.max(d2_m2t), jnp.max(d2_t2m)))
         return exponential_logpdf(hd, spec.rate)

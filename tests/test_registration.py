@@ -259,3 +259,54 @@ def test_flagship_multichip_matches_unsharded(femur_data):
     )
     # the chains did real work
     assert 0.0 < float(stats.acceptance) < 1.0
+
+    # VERDICT r2 item 1: R-hat/ESS pooled INSIDE the sharded program via psum
+    # moment sums must equal the host formulas on the gathered traces
+    tail = jnp.asarray(np.asarray(records_u.coeffs))[:, :, :8]
+    host_rhat = diagnostics.split_rhat(tail)
+    host_ess = diagnostics.ess(tail[..., 0])
+    np.testing.assert_allclose(
+        np.asarray(stats.rhat), np.asarray(host_rhat), rtol=1e-4, atol=1e-5
+    )
+    np.testing.assert_allclose(
+        float(stats.ess), float(host_ess), rtol=1e-4
+    )
+
+
+def test_pooled_diagnostics_match_local_formulas(rng):
+    """pooled_split_rhat/pooled_ess with axis_name=None are exactly the
+    split_rhat/ess formulas (the psum pooling is a pure refactor)."""
+    x = jnp.asarray(rng.randn(6, 50, 4).astype(np.float32))
+    np.testing.assert_allclose(
+        np.asarray(diagnostics.pooled_split_rhat(x)),
+        np.asarray(diagnostics.split_rhat(x)),
+        rtol=1e-5,
+    )
+    np.testing.assert_allclose(
+        float(diagnostics.pooled_ess(x[..., 0])),
+        float(diagnostics.ess(x[..., 0])),
+        rtol=1e-5,
+    )
+
+
+def test_extract_best_raises_without_accepted_sample(femur_data):
+    """VERDICT r2 item 7: argmax over all-(-inf) must fail loudly, like
+    loggers.best_fitting_record (JSONAcceptRejectLogger.scala:142-146)."""
+    from icp_proposal_tpu.apps.femur import make_icp_proposal_setup
+    from icp_proposal_tpu.registration.sampling_registration import SamplingRegistration
+
+    ctx, mixture, evaluator = make_icp_proposal_setup(femur_data)
+    reg = SamplingRegistration(
+        femur_data.model, femur_data.target, mixture, evaluator, verbose=False
+    )
+    r = femur_data.model.rank
+    fake = mh.ChainRecord(
+        accepted=np.zeros((2, 5), bool),
+        proposal_idx=np.zeros((2, 5), np.int32),
+        log_product=np.full((2, 5), -1.0, np.float32),
+        named=np.zeros((2, 5, 3), np.float32),
+        coeffs=np.zeros((2, 5, r), np.float32),
+        pose=np.zeros((2, 5, 9), np.float32),
+    )
+    with pytest.raises(ValueError, match="no accepted sample"):
+        reg._extract_best(fake)
