@@ -183,8 +183,10 @@ class EvaluatorProgram:
         return exponential_logpdf(hd, spec.rate)
 
     def _collective(self, spec: CollectiveAvgMaxSpec, points):
-        def masked_avg_max(queries, tri, cells, surf_points, boundary, index=None):
-            cp, d2, fidx = closest_auto(queries, tri, index)
+        # exact dense queries in both directions: the Exponential(max) term
+        # makes this a max statistic too (see _hausdorff routing note)
+        def masked_avg_max(queries, tri, cells, surf_points, boundary):
+            cp, d2, fidx = closest_points_on_surface(queries, tri)
             near = nearest_vertex_of_faces(cells, fidx, cp, surf_points)
             keep = ~jnp.asarray(boundary)[near]
             d = jnp.sqrt(d2)
@@ -198,7 +200,7 @@ class EvaluatorProgram:
             q = points[self._model_ids[spec.name]]
             a, m = masked_avg_max(
                 q, self.ctx.tri, self.ctx.cells, self.ctx.points,
-                self.ctx.boundary, self.ctx.index,
+                self.ctx.boundary,
             )
             avgs.append(a)
             maxs.append(m)
