@@ -1,30 +1,46 @@
-"""Benchmark: samples/s/chip on the femur GPMM-100 ICP-proposal chain.
+"""Benchmark: samples/s/chip on the femur GPMM ICP-proposal chain.
 
 Prints ONE JSON line:
-    {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+    {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...}
+where value is the MEDIAN of ``BENCH_REPS`` (default 3) independently timed
+segments and ``spread`` reports their min/max (VERDICT r2 bench-rigor item:
+single-shot timings had unquantified run-to-run noise).
 
-Baseline anchor: the reference publishes no numbers (SURVEY §6) and the Scala
-toolchain cannot be built in this environment (sbt needs network), so the
-anchor is a **measured** single-core CPU port of the reference hot loop
+Baseline anchors: the reference publishes no numbers (SURVEY §6) and the
+Scala toolchain cannot be built in this environment (sbt needs network), so
+the anchors are **measured** single-core CPU ports of the reference hot loop
 (``tools/reference_baseline_port.py`` — same per-step algorithm: full-mesh
 decode, KD-tree+exact closest-point correspondences both directions, two
 r×r GP-posterior assemblies, compensated-projection transition densities,
-4·rank-point evaluator; BLAS pinned to one thread).  Measured 38.15
-samples/s on this machine (femur GPMM-100, 500 steps —
-``artifacts/cpu_baseline.json``); the port is deliberately generous to the
-JVM reference (vectorized numpy + KD-tree vs boxed-object BVH), so
-``vs_baseline`` = value / 38.15 is a LOWER bound on the true speedup.
-The north-star target (≥50×) corresponds to vs_baseline ≥ 50.
+4·rank-point evaluator; BLAS pinned to one thread), one anchor PER MODEL
+RANK (ADVICE r2: dividing a gpmm-50 run by the slower gpmm-100 anchor
+overstated speedup):
+
+    rank  50: 73.3  samples/s
+    rank 100: 38.15 samples/s
+    rank 200: 10.54 samples/s
+
+Each anchor is the MAX over repeated quiet-machine measurements (history in
+``artifacts/cpu_baselines.json``) — the generous-to-the-reference choice.
+The ports are deliberately generous to the JVM reference already (vectorized
+numpy + KD-tree vs boxed-object BVH), so ``vs_baseline`` is a LOWER bound on
+the true speedup.  The north-star target (≥50×) is on the rank-100 row.
 """
 import json
+import statistics
 import time
 
-CPU_SINGLE_CORE_BASELINE_MEASURED = 38.15  # samples/s (see module docstring)
+# measured per-rank single-core anchors (see module docstring)
+CPU_SINGLE_CORE_BASELINES = {50: 73.3, 100: 38.15, 200: 10.54}
 
 
 def main():
     import os
     import sys
+
+    from icp_proposal_tpu.utils.profiling import enable_compilation_cache
+
+    enable_compilation_cache()
 
     import jax
     import jax.numpy as jnp
@@ -46,6 +62,7 @@ def main():
     n_chains = int(os.environ.get("BENCH_CHAINS", "2048"))
     n_steps = int(os.environ.get("BENCH_STEPS", "100"))
     n_components = int(os.environ.get("BENCH_COMPONENTS", "100"))
+    n_reps = int(os.environ.get("BENCH_REPS", "3"))
 
     t = time.perf_counter()
     data = load_femur_data(model_components=n_components)
@@ -80,31 +97,41 @@ def main():
     def force(x):
         return float(jnp.sum(x.log_post))
 
-    # compile + warmup
+    # compile + warmup (persistent cache makes warm starts fast)
     t = time.perf_counter()
     final, records = run(carries, keys)
     force(final)
     log(f"compile+first-run ({n_chains} chains x {n_steps} steps) took "
         f"{time.perf_counter() - t:.1f}s")
 
-    t0 = time.perf_counter()
-    final, records = run(final, jax.vmap(lambda k: jax.random.fold_in(k, 1))(keys))
-    force(final)
-    dt = time.perf_counter() - t0
-
-    samples_per_sec = n_chains * n_steps / dt
-    print(
-        json.dumps(
-            {
-                "metric": f"samples_per_sec_per_chip_femur_gpmm{n_components}_icp_proposal",
-                "value": round(samples_per_sec, 1),
-                "unit": "samples/s/chip",
-                "vs_baseline": round(
-                    samples_per_sec / CPU_SINGLE_CORE_BASELINE_MEASURED, 1
-                ),
-            }
+    # median-of-n timed segments, each continuing the chains with fresh keys
+    rates = []
+    for rep in range(n_reps):
+        t0 = time.perf_counter()
+        final, records = run(
+            final, jax.vmap(lambda k: jax.random.fold_in(k, rep + 1))(keys)
         )
-    )
+        force(final)
+        dt = time.perf_counter() - t0
+        rates.append(n_chains * n_steps / dt)
+        log(f"segment {rep + 1}/{n_reps}: {rates[-1]:.1f} samples/s")
+
+    value = statistics.median(rates)
+    baseline = CPU_SINGLE_CORE_BASELINES.get(n_components)
+    out = {
+        "metric": f"samples_per_sec_per_chip_femur_gpmm{n_components}_icp_proposal",
+        "value": round(value, 1),
+        "unit": "samples/s/chip",
+        # per-rank measured anchor; null when no anchor was measured for
+        # this component count (never divide by a mismatched rank's anchor)
+        "vs_baseline": round(value / baseline, 1) if baseline else None,
+        "spread": {
+            "reps": n_reps,
+            "min": round(min(rates), 1),
+            "max": round(max(rates), 1),
+        },
+    }
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

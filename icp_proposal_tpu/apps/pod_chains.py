@@ -29,11 +29,21 @@ def main():
                    help="also write the result JSON to this path")
     args = p.parse_args()
 
+    import os
+
     from icp_proposal_tpu.parallel.distributed import raise_cpu_collective_timeouts
+    from icp_proposal_tpu.utils.profiling import enable_compilation_cache
 
     raise_cpu_collective_timeouts()  # no-op unless a CPU mesh; pre-backend
+    enable_compilation_cache()
 
     import jax
+
+    # the axon TPU plugin registers itself regardless of JAX_PLATFORMS; when
+    # the caller asked for the virtual CPU mesh, pin it explicitly (otherwise
+    # backend init blocks on the tunnel)
+    if os.environ.get("JAX_PLATFORMS", "").startswith("cpu"):
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
 
     from icp_proposal_tpu.apps.femur import load_femur_data, make_icp_proposal_setup

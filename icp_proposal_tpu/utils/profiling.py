@@ -54,3 +54,20 @@ class ThroughputCounter:
     @property
     def samples_per_sec_per_chip(self) -> float:
         return self.samples_per_sec / self.n_devices
+
+
+def enable_compilation_cache(cache_dir: str | None = None) -> None:
+    """Persistent XLA compilation cache: warm starts skip the ~7-minute
+    cold compile of the flagship program on the tunneled TPU (VERDICT r2
+    bench-rigor item).  Call before the first jit executes."""
+    import os
+
+    import jax
+
+    cache_dir = cache_dir or os.environ.get(
+        "ICP_TPU_COMPILE_CACHE", "/root/repo/.jax_cache"
+    )
+    os.makedirs(cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)

@@ -1,12 +1,21 @@
-"""Measured single-core CPU baseline for the reference hot loop.
+"""Single-core NumPy port of the reference hot loop: baseline + cross-impl sampler.
 
-The Scala reference cannot be built here (sbt needs network; zero egress),
-so BASELINE.md's 25 samples/s denominator was an *estimate*.  This tool
-replaces it with a measurement: a faithful single-threaded NumPy port of the
-reference's per-step algorithm (SURVEY §3.1 hot loop; reference
-``apps/femur/IcpProposalRegistration.scala:50-104``,
-``api/sampling/proposals/NonRigidIcpProposal.scala:53-153``), timed on one
-CPU core.
+Two jobs:
+
+1. **Measured CPU baseline** (``main()``): the Scala reference cannot be
+   built here (sbt needs network; zero egress), so the ``vs_baseline``
+   denominators in ``bench.py`` are measured from this faithful
+   single-threaded NumPy port of the reference's per-step algorithm
+   (SURVEY §3.1 hot loop; reference
+   ``apps/femur/IcpProposalRegistration.scala:50-104``,
+   ``api/sampling/proposals/NonRigidIcpProposal.scala:53-153``), timed on
+   one CPU core.
+
+2. **Cross-implementation posterior parity** (``PortSampler``): run the
+   port as a *sampler* (VERDICT r2 item 2) with geometry (point subsets,
+   noise frames, densities) matched to the JAX framework's parity mode, so
+   its long-chain posterior moments provide an INDEPENDENT check of the TPU
+   sampler — scipy KD-tree + numpy vs our JAX/Pallas kernels share no code.
 
 Faithfulness notes (everything is tilted IN THE REFERENCE'S FAVOR, so the
 measured number is an upper bound on what the Scala/JVM code does):
@@ -31,16 +40,16 @@ measured number is an upper bound on what the Scala/JVM code does):
   JVM ``Point`` objects.
 * All linear algebra is C-backed BLAS via NumPy, pinned to ONE thread
   (JVM breeze/netlib is the same class of backend).
-* The transition density is evaluated in the reference's parity form (no
-  ½·log det M / Jacobian corrections — they cost nothing anyway, the
-  Cholesky is already computed).
+* The transition density is the reference's parity form (no ½·log det M /
+  relaxation-Jacobian corrections — they cost nothing anyway, the Cholesky
+  is already computed).  Round-3 fix: the normalized-coordinate quadratic
+  is δᵀMδ (y = Lᵀδ); an earlier revision computed δᵀM⁻¹δ (y = L⁻¹δ), which
+  left the per-step FLOPs identical (baseline timing unaffected) but
+  sampled a different density — unusable for the cross-impl parity study.
 
-Usage:
+Usage (baseline):
     OMP_NUM_THREADS=1 python tools/reference_baseline_port.py \
         [--components 100] [--steps 300] [--out artifacts/cpu_baseline.json]
-
-Prints one JSON line with measured samples/s and updates BASELINE.md's
-anchor discussion (manually).
 """
 from __future__ import annotations
 
@@ -111,16 +120,18 @@ class SurfaceQuery:
     scalismo's BVH ``closestPointOnSurface``."""
 
     def __init__(self, points, cells, k=16):
+        self.cells = cells
         self.tri = points[cells]  # [F,3,3]
         self.k = min(k, len(cells))
         self.tree = cKDTree(self.tri.mean(axis=1))
 
     def closest(self, q):
+        """→ (dist [n], closest point [n,3], face idx [n])."""
         _, idx = self.tree.query(q, k=self.k)
         d2, cp = _point_tri_d2(q, self.tri[idx])
         j = np.argmin(d2, axis=1)
         ii = np.arange(len(q))
-        return np.sqrt(d2[ii, j]), cp[ii, j]
+        return np.sqrt(d2[ii, j]), cp[ii, j], idx[ii, j]
 
 
 def vertex_normals(points, cells):
@@ -134,8 +145,201 @@ def vertex_normals(points, cells):
 
 
 # ---------------------------------------------------------------------------
-# the ported hot loop
+# the ported hot loop as a reusable sampler
 # ---------------------------------------------------------------------------
+
+
+class PortSampler:
+    """Reference-semantics MH sampler (parity transition density) on numpy.
+
+    Geometry is configurable so the chain can target EXACTLY the same
+    density as the JAX framework's parity mode: pass the framework's seeded
+    id subsets (``icp_model_ids``/``icp_target_ids``/``eval_ids``) and the
+    same noise scales.  Boundary handling matches the framework: the
+    model→target direction masks correspondences whose nearest vertex OF THE
+    HIT FACE is a target-boundary vertex; the target→model direction masks
+    on the model-side nearest vertex (reference ``NonRigidIcpProposal.scala:
+    94-131`` semantics with the framework's hit-face convention).
+    """
+
+    def __init__(self, model, target_points, target_cells, target_boundary,
+                 model_boundary, icp_model_ids, icp_target_ids, eval_ids,
+                 sigma_n=5.0, sigma_t=10.0, step_len=0.1, sigma_eval=2.0,
+                 weights=(0.45, 0.45, 0.1), rw_sigma=0.1):
+        self.rank = model.rank
+        self.ref = np.asarray(model.ref_points, np.float64)
+        self.mu = np.asarray(model.mean_disp, np.float64)
+        self.Q = np.asarray(model.sbasis, np.float64)  # [V,3,r]
+        self.cells = np.asarray(model.cells)
+        self.V = self.ref.shape[0]
+        self.Qf = self.Q.reshape(3 * self.V, self.rank)
+
+        self.tpts = np.asarray(target_points, np.float64)
+        self.tcells = np.asarray(target_cells)
+        self.target_q = SurfaceQuery(self.tpts, self.tcells)
+        self.t_boundary = np.asarray(target_boundary, bool)
+        self.m_boundary = np.asarray(model_boundary, bool)
+
+        self.icp_ids = np.asarray(icp_model_ids)
+        self.tgt_ids = np.asarray(icp_target_ids)
+        self.eval_ids = np.asarray(eval_ids)
+        self.sigma_n, self.sigma_t = sigma_n, sigma_t
+        self.a_prec, self.b_prec = 1.0 / sigma_n**2, 1.0 / sigma_t**2
+        self.step_len = step_len
+        self.sigma_eval = sigma_eval
+        self.comp_w = np.asarray(weights, np.float64)
+        self.log_w = np.log(self.comp_w)
+        self.rw_sigma = rw_sigma
+
+    def decode(self, alpha):
+        return self.ref + self.mu + (self.Qf @ alpha).reshape(self.V, 3)
+
+    def factors(self, alpha, pts=None, normals=None):
+        """Both ICP components' posterior factors anchored at alpha.
+        → dict dir → (alpha_hat, chol(M))."""
+        if pts is None:
+            pts = self.decode(alpha)
+        if normals is None:
+            normals = vertex_normals(pts, self.cells)
+        out = {}
+        # model direction: sampled model vertices -> target surface; boundary
+        # checked on the nearest vertex of the HIT face (framework convention)
+        qp = pts[self.icp_ids]
+        _, cp, fidx = self.target_q.closest(qp)
+        face_verts = self.tcells[fidx]  # [m, 3]
+        vd = np.linalg.norm(self.tpts[face_verts] - cp[:, None, :], axis=-1)
+        nv = face_verts[np.arange(len(fidx)), np.argmin(vd, axis=1)]
+        mask = ~self.t_boundary[nv]
+        # noise frame anchored on the CURRENT-MESH normal at the sampled
+        # model vertex (framework: cur_normals[model_ids])
+        nrm = normals[self.icp_ids]
+        obs = cp - self.ref[self.icp_ids]  # displacement observation (pose = id)
+        out["model"] = self._assemble(self.icp_ids[mask], obs[mask], nrm[mask])
+        # target direction: sampled target points -> nearest model vertex
+        mtree = cKDTree(pts)
+        _, mv = mtree.query(self.tpts[self.tgt_ids])
+        mask2 = ~self.m_boundary[mv]
+        obs2 = self.tpts[self.tgt_ids] - self.ref[mv]
+        nrm2 = normals[mv]
+        out["target"] = self._assemble(mv[mask2], obs2[mask2], nrm2[mask2])
+        return out
+
+    def _assemble(self, ids, obs, nrm):
+        rank = self.rank
+        qo = self.Q[ids]  # [m,3,r]
+        resid = obs - self.mu[ids]
+        ntq = np.einsum("mi,mir->mr", nrm, qo)
+        pq = self.b_prec * qo + (self.a_prec - self.b_prec) * nrm[:, :, None] * ntq[:, None, :]
+        M = np.eye(rank) + np.einsum("mir,mis->rs", qo, pq)
+        rhs = np.einsum("mir,mi->r", pq, resid)
+        L = np.linalg.cholesky(M)
+        alpha_hat = np.linalg.solve(M, rhs)
+        return alpha_hat, L
+
+    def q_log_density(self, fac, alpha_from, alpha_to):
+        """Reference parity density (NonRigidIcpProposal.scala:71-85):
+        project the relaxation-compensated state into the posterior,
+        standard-normal logpdf in normalized coordinates (quadratic δᵀMδ,
+        i.e. y = Lᵀδ).  Includes the two full-mesh ops the reference pays:
+        instance decode of the compensated state + coefficients projection."""
+        alpha_hat, L = fac
+        comp = alpha_from + (alpha_to - alpha_from) / self.step_len
+        mesh = self.decode(comp)  # reference: model.instance(compensatedTo)
+        # posterior.coefficients(toMesh): r-dim least squares through the
+        # model basis (the posterior basis spans the same space)
+        resid3v = (mesh - self.ref - self.mu).reshape(-1)
+        proj = np.linalg.solve(
+            self.Qf.T @ self.Qf + 1e-5 * np.eye(self.rank), self.Qf.T @ resid3v
+        )
+        d = proj - alpha_hat
+        y = L.T @ d
+        return -0.5 * float(y @ y) - 0.5 * self.rank * np.log(2 * np.pi)
+
+    def evaluator(self, pts):
+        d, _, _ = self.target_q.closest(pts[self.eval_ids])
+        s = self.sigma_eval
+        return float(np.sum(-0.5 * (d / s) ** 2 - np.log(s)
+                            - 0.5 * np.log(2 * np.pi)))
+
+    def prior(self, alpha):
+        return float(-0.5 * alpha @ alpha - 0.5 * self.rank * np.log(2 * np.pi))
+
+    def run(self, steps, seed=1024, init_alpha=None, record_from=0,
+            record_every=1):
+        """Run the MH chain; → (trace [n_rec, r], acceptance, wall_s)."""
+        rank = self.rank
+        rng = np.random.default_rng(seed)
+        alpha = (np.zeros(rank) if init_alpha is None
+                 else np.asarray(init_alpha, np.float64))
+        cur_factors = self.factors(alpha)
+        cur_post = self.prior(alpha) + self.evaluator(self.decode(alpha))
+        n_acc = 0
+        trace = []
+
+        t0 = time.perf_counter()
+        for it in range(steps):
+            # candidate generation
+            c = rng.choice(len(self.comp_w), p=self.comp_w)
+            if c == 2:  # random walk
+                cand = alpha + self.rw_sigma * rng.standard_normal(rank)
+            else:
+                ahat, L = cur_factors["model" if c == 0 else "target"]
+                astar = ahat + np.linalg.solve(L.T, rng.standard_normal(rank))
+                cand = alpha + (astar - alpha) * self.step_len
+            # candidate decode + reverse-anchor factors (both components: the
+            # mixture transition density needs them regardless of c)
+            cand_pts = self.decode(cand)
+            cand_normals = vertex_normals(cand_pts, self.cells)
+            cand_factors = self.factors(cand, cand_pts, cand_normals)
+            # mixture transition densities (parity form), forward + reverse
+            diff = cand - alpha
+
+            def mix_q(fac, a_from, a_to):
+                comps = np.asarray([
+                    self.q_log_density(fac["model"], a_from, a_to),
+                    self.q_log_density(fac["target"], a_from, a_to),
+                    -0.5 * float(diff @ diff) / self.rw_sigma**2
+                    - rank * np.log(self.rw_sigma)
+                    - 0.5 * rank * np.log(2 * np.pi),
+                ])
+                m = np.max(comps + self.log_w)
+                return m + np.log(np.sum(np.exp(comps + self.log_w - m)))
+
+            lq_fwd = mix_q(cur_factors, alpha, cand)
+            lq_rev = mix_q(cand_factors, cand, alpha)
+            cand_post = self.prior(cand) + self.evaluator(cand_pts)
+            log_alpha_mh = (cand_post - cur_post) + (lq_rev - lq_fwd)
+            if np.log(rng.uniform()) < log_alpha_mh:
+                alpha, cur_post, cur_factors = cand, cand_post, cand_factors
+                n_acc += 1
+            if it >= record_from and (it - record_from) % record_every == 0:
+                trace.append(alpha.copy())
+        dt = time.perf_counter() - t0
+        return np.asarray(trace), n_acc / steps, dt
+
+
+def femur_port_sampler(components=100, data=None, **kw):
+    """PortSampler over the femur workload with the FRAMEWORK's seeded id
+    subsets (MixtureProgram seed 1024 / 1025; EvaluatorProgram seed 1024),
+    so it targets the identical parity density as
+    ``apps.femur.make_icp_proposal_setup(..., parity=True)``."""
+    from icp_proposal_tpu.apps.femur import load_femur_data
+    from icp_proposal_tpu.ops.surface_sampling import seeded_vertex_subset
+
+    data = data or load_femur_data(model_components=components)
+    model = data.model
+    vt = len(np.asarray(data.target.points))
+    return PortSampler(
+        model,
+        np.asarray(data.target.points),
+        np.asarray(data.target.cells),
+        np.asarray(data.target_boundary_mask),
+        np.asarray(data.model_boundary_mask),
+        icp_model_ids=seeded_vertex_subset(model.num_points, 2 * model.rank, 1024),
+        icp_target_ids=seeded_vertex_subset(vt, 2 * model.rank, 1025),
+        eval_ids=seeded_vertex_subset(model.num_points, 4 * model.rank, 1024),
+        **kw,
+    )
 
 
 def main():
@@ -145,144 +349,8 @@ def main():
     ap.add_argument("--out", default="artifacts/cpu_baseline.json")
     args = ap.parse_args()
 
-    from icp_proposal_tpu.apps.femur import load_femur_data
-
-    data = load_femur_data(model_components=args.components)
-    model = data.model
-    rank = model.rank
-    ref = np.asarray(model.ref_points, np.float64)
-    mu = np.asarray(model.mean_disp, np.float64)
-    Q = np.asarray(model.sbasis, np.float64)  # [V,3,r]
-    cells = np.asarray(model.cells)
-    V = ref.shape[0]
-    Qf = Q.reshape(3 * V, rank)
-
-    tpts = np.asarray(data.target.points, np.float64)
-    tcells = np.asarray(data.target.cells)
-    target_q = SurfaceQuery(tpts, tcells)
-    target_vtree = cKDTree(tpts)
-    target_normals = vertex_normals(tpts, tcells)
-    t_boundary = np.asarray(data.target_boundary_mask, bool)
-    m_boundary = np.asarray(data.model_boundary_mask, bool)
-
-    rng = np.random.default_rng(1024)
-    n_icp = 2 * rank  # reference: numOfSamplePoints = 2·rank
-    n_eval = 4 * rank  # evaluator points = 4·rank
-    icp_ids = rng.choice(V, size=n_icp, replace=False)
-    eval_ids = rng.choice(V, size=n_eval, replace=False)
-    tgt_ids = rng.choice(len(tpts), size=n_icp, replace=False)
-    sigma_n, sigma_t, step_len, sigma_eval = 5.0, 10.0, 0.1, 2.0
-    a_prec, b_prec = 1.0 / sigma_n**2, 1.0 / sigma_t**2
-
-    def decode(alpha):
-        return ref + mu + (Qf @ alpha).reshape(V, 3)
-
-    def factors(alpha, pts=None, normals=None):
-        """Both ICP components' posterior factors anchored at alpha.
-        Returns dict dir -> (alpha_hat, chol(M))."""
-        if pts is None:
-            pts = decode(alpha)
-        if normals is None:
-            normals = vertex_normals(pts, cells)
-        out = {}
-        # model direction: sampled model vertices -> target surface
-        qp = pts[icp_ids]
-        _, cp = target_q.closest(qp)
-        _, nv = target_vtree.query(cp)
-        mask = ~t_boundary[nv]
-        nrm = target_normals[nv]
-        obs = cp - ref[icp_ids]  # displacement observation (pose = identity)
-        out["model"] = _assemble(icp_ids[mask], obs[mask], nrm[mask])
-        # target direction: sampled target points -> nearest model vertex
-        mtree = cKDTree(pts)
-        _, mv = mtree.query(tpts[tgt_ids])
-        mask2 = ~m_boundary[mv]
-        obs2 = tpts[tgt_ids] - ref[mv]
-        nrm2 = normals[mv]
-        out["target"] = _assemble(mv[mask2], obs2[mask2], nrm2[mask2])
-        return out
-
-    def _assemble(ids, obs, nrm):
-        qo = Q[ids]  # [m,3,r]
-        resid = obs - mu[ids]
-        ntq = np.einsum("mi,mir->mr", nrm, qo)
-        pq = b_prec * qo + (a_prec - b_prec) * nrm[:, :, None] * ntq[:, None, :]
-        M = np.eye(rank) + np.einsum("mir,mis->rs", qo, pq)
-        rhs = np.einsum("mir,mi->r", pq, resid)
-        L = np.linalg.cholesky(M)
-        alpha_hat = np.linalg.solve(M, rhs)
-        return alpha_hat, L
-
-    def q_log_density(fac, alpha_from, alpha_to):
-        """Reference parity density (NonRigidIcpProposal.scala:71-85):
-        project compensated coeffs into the posterior, standard-normal
-        logpdf.  Includes the two full-mesh ops the reference pays:
-        instance decode of the compensated state + coefficients projection."""
-        alpha_hat, L = fac
-        comp = alpha_from + (alpha_to - alpha_from) / step_len
-        mesh = decode(comp)  # reference: model.instance(compensatedTo)
-        # posterior.coefficients(toMesh): r-dim least squares through the
-        # model basis (the posterior basis spans the same space)
-        resid3v = (mesh - ref - mu).reshape(-1)
-        proj = np.linalg.solve(Qf.T @ Qf + 1e-5 * np.eye(rank), Qf.T @ resid3v)
-        d = proj - alpha_hat
-        y = np.linalg.solve(L, d)
-        return -0.5 * float(y @ y) - 0.5 * rank * np.log(2 * np.pi)
-
-    def evaluator(pts):
-        d, _ = target_q.closest(pts[eval_ids])
-        return float(np.sum(-0.5 * (d / sigma_eval) ** 2
-                            - np.log(sigma_eval) - 0.5 * np.log(2 * np.pi)))
-
-    def prior(alpha):
-        return float(-0.5 * alpha @ alpha - 0.5 * rank * np.log(2 * np.pi))
-
-    # mixture: 0.45 ICP-model + 0.45 ICP-target + 0.1 RW  (flagship)
-    comp_w = np.array([0.45, 0.45, 0.1])
-    log_w = np.log(comp_w)
-    rw_sigma = 0.1
-
-    alpha = np.zeros(rank)
-    cur_factors = factors(alpha)
-    cur_post = prior(alpha) + evaluator(decode(alpha))
-    n_acc = 0
-
-    t0 = time.perf_counter()
-    for it in range(args.steps):
-        # candidate generation
-        c = rng.choice(3, p=comp_w)
-        if c == 2:  # random walk
-            cand = alpha + rw_sigma * rng.standard_normal(rank)
-        else:
-            ahat, L = cur_factors["model" if c == 0 else "target"]
-            astar = ahat + np.linalg.solve(L.T, rng.standard_normal(rank))
-            cand = alpha + (astar - alpha) * step_len
-        # candidate decode + reverse-anchor factors (both components: the
-        # mixture transition density needs them regardless of c)
-        cand_pts = decode(cand)
-        cand_normals = vertex_normals(cand_pts, cells)
-        cand_factors = factors(cand, cand_pts, cand_normals)
-        # mixture transition densities (parity form), forward + reverse
-        diff = cand - alpha
-
-        def mix_q(fac, a_from, a_to):
-            comps = [
-                q_log_density(fac["model"], a_from, a_to),
-                q_log_density(fac["target"], a_from, a_to),
-                -0.5 * float(diff @ diff) / rw_sigma**2
-                - rank * np.log(rw_sigma) - 0.5 * rank * np.log(2 * np.pi),
-            ]
-            m = np.max(np.asarray(comps) + log_w)
-            return m + np.log(np.sum(np.exp(np.asarray(comps) + log_w - m)))
-
-        lq_fwd = mix_q(cur_factors, alpha, cand)
-        lq_rev = mix_q(cand_factors, cand, alpha)
-        cand_post = prior(cand) + evaluator(cand_pts)
-        log_alpha_mh = (cand_post - cur_post) + (lq_rev - lq_fwd)
-        if np.log(rng.uniform()) < log_alpha_mh:
-            alpha, cur_post, cur_factors = cand, cand_post, cand_factors
-            n_acc += 1
-    dt = time.perf_counter() - t0
+    sampler = femur_port_sampler(args.components)
+    _, acceptance, dt = sampler.run(args.steps, seed=1024)
 
     out = {
         "metric": "cpu_single_core_samples_per_sec_femur_gpmm"
@@ -291,7 +359,7 @@ def main():
         "unit": "samples/s (1 CPU core, numpy port of reference hot loop)",
         "steps": args.steps,
         "wall_s": round(dt, 2),
-        "acceptance": round(n_acc / args.steps, 4),
+        "acceptance": round(acceptance, 4),
         "threads": {k: os.environ.get(k) for k in
                     ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS")},
         "notes": "upper bound on the Scala/JVM reference (see module docstring)",
