@@ -1,0 +1,194 @@
+"""Cross-implementation posterior parity: numpy port vs JAX framework.
+
+VERDICT r2 item 2: every prior parity artifact compared TPU samplers against
+TPU samplers — a bug shared by the JAX correspondence kernels or factor
+assembly would be invisible.  This tool runs the single-core numpy port of
+the reference hot loop (``tools/reference_baseline_port.PortSampler`` —
+scipy cKDTree + numpy; zero shared code with the JAX path) as a long-chain
+*sampler* and compares its posterior coefficient moments against the
+framework's parity-mode flagship chain, both targeting the IDENTICAL parity
+density (same seeded point subsets, noise frames, mixture weights,
+evaluator; reference semantics of ``NonRigidIcpProposal.scala:53-85`` +
+``SamplingRegistration.scala:37-94``).
+
+Decision rule: for each of the first N coefficients, z = (m̂_port − m̂_jax) /
+sqrt(SE²_port + SE²_jax) with SEs from between-chain variation (chains are
+independent).  max |z| < 3 ⇒ within Monte-Carlo error.
+
+    python tools/crossimpl_parity.py --components 50 --steps 20000 \
+        --port-chains 6 --jax-chains 64 --out artifacts/posterior_parity_crossimpl.json
+"""
+from __future__ import annotations
+
+import os
+
+# the JAX side must use the exact dense kernels (the K-NN shortlist is
+# near-surface-exact only; the port is exact) — set before any jit traces
+os.environ.setdefault("ICP_TPU_NO_SHORTLIST", "1")
+
+import sys; sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))  # noqa: E402,E702
+
+import argparse
+import json
+import time
+
+
+def _run_port_chain(args):
+    """Worker: one port chain → (chain-mean [r], chain-var [r], acceptance)."""
+    components, steps, burn, thin, seed = args
+    import numpy as np
+
+    from tools.reference_baseline_port import femur_port_sampler
+
+    sampler = femur_port_sampler(components)
+    sampler.target_q.k = min(32, len(sampler.tcells))  # tighter exactness
+    trace, acc, _ = sampler.run(
+        steps, seed=seed, record_from=burn, record_every=thin
+    )
+    return trace.mean(axis=0), trace.var(axis=0, ddof=1), acc
+
+
+def chain_state_trace(candidates, accepted, init):
+    """Reconstruct the chain-state trace from candidate records + accept
+    flags: state_t = candidates[last accepted t' ≤ t] (init before any)."""
+    import numpy as np
+
+    acc = np.asarray(accepted, bool)
+    t = acc.shape[0]
+    last = np.where(acc, np.arange(1, t + 1), 0)
+    last = np.maximum.accumulate(last)  # 0 = still at init
+    padded = np.concatenate([np.asarray(init)[None], np.asarray(candidates)], 0)
+    return padded[last]
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--components", type=int, default=50)
+    ap.add_argument("--steps", type=int, default=20000)
+    ap.add_argument("--burn", type=int, default=2000)
+    ap.add_argument("--thin", type=int, default=10)
+    ap.add_argument("--port-chains", type=int, default=6)
+    ap.add_argument("--jax-chains", type=int, default=64)
+    ap.add_argument("--procs", type=int, default=2)
+    ap.add_argument("--n-check", type=int, default=10,
+                    help="leading coefficients compared by z-score")
+    ap.add_argument("--out", default="artifacts/posterior_parity_crossimpl.json")
+    args = ap.parse_args()
+
+    import numpy as np
+
+    # ---------------- CPU port side (multiprocessing) ----------------------
+    from multiprocessing import Pool
+
+    t0 = time.perf_counter()
+    work = [
+        (args.components, args.steps, args.burn, args.thin, 1000 + i)
+        for i in range(args.port_chains)
+    ]
+    with Pool(args.procs) as pool:
+        port_results = pool.map(_run_port_chain, work)
+    port_means = np.stack([r[0] for r in port_results])  # [K, r]
+    port_vars = np.stack([r[1] for r in port_results])
+    port_acc = float(np.mean([r[2] for r in port_results]))
+    port_wall = time.perf_counter() - t0
+    print(f"[port] {args.port_chains} chains x {args.steps} steps in "
+          f"{port_wall:.0f}s, acceptance {port_acc:.3f}")
+
+    # ---------------- JAX framework side (parity mode) ---------------------
+    import jax
+    import jax.numpy as jnp
+
+    from icp_proposal_tpu.apps.femur import load_femur_data, make_icp_proposal_setup
+    from icp_proposal_tpu.sampling import mh
+    from icp_proposal_tpu.sampling.state import init_state
+    from icp_proposal_tpu.utils.profiling import enable_compilation_cache
+
+    enable_compilation_cache()
+    t0 = time.perf_counter()
+    data = load_femur_data(model_components=args.components)
+    ctx, mixture, evaluator = make_icp_proposal_setup(data, parity=True)
+
+    # hard check: the port targets the IDENTICAL density — same point subsets
+    from tools.reference_baseline_port import femur_port_sampler
+
+    probe = femur_port_sampler(args.components, data=data)
+    icp_comps = [mixture.icp_components[i] for i in sorted(mixture.icp_components)]
+    fw_model_ids = {frozenset(np.asarray(c.model_ids).tolist()) for c in icp_comps}
+    fw_target_ids = {frozenset(np.asarray(c.target_ids).tolist()) for c in icp_comps}
+    assert frozenset(probe.icp_ids.tolist()) in fw_model_ids, "ICP model ids differ"
+    assert frozenset(probe.tgt_ids.tolist()) in fw_target_ids, "ICP target ids differ"
+    ev_ids = evaluator._model_ids["distance"]
+    assert frozenset(probe.eval_ids.tolist()) == frozenset(
+        np.asarray(ev_ids).tolist()
+    ), "evaluator ids differ"
+    del probe
+    step = mh.make_mh_step(data.model, mixture, evaluator, store_params=True)
+    n_chains = args.jax_chains
+    carry0 = jax.jit(
+        lambda s: mh.init_carry(data.model, evaluator, s, mixture)
+    )(init_state(data.model))
+    carries = jax.tree.map(
+        lambda x: jnp.broadcast_to(x, (n_chains,) + x.shape), carry0
+    )
+    keys = jax.random.split(jax.random.PRNGKey(99), n_chains)
+    final, records = mh.run_chains(step, carries, keys, args.steps)
+    cand = np.asarray(records.coeffs)  # [C, T, r] candidates
+    acc = np.asarray(records.accepted)  # [C, T]
+    init = np.zeros(cand.shape[-1], cand.dtype)
+    jax_means, jax_vars = [], []
+    for c in range(n_chains):
+        tr = chain_state_trace(cand[c], acc[c], init)[args.burn::args.thin]
+        jax_means.append(tr.mean(axis=0))
+        jax_vars.append(tr.var(axis=0, ddof=1))
+    jax_means = np.stack(jax_means)
+    jax_vars = np.stack(jax_vars)
+    jax_acc = float(acc.mean())
+    jax_wall = time.perf_counter() - t0
+    print(f"[jax:{jax.default_backend()}] {n_chains} chains x {args.steps} "
+          f"steps in {jax_wall:.0f}s, acceptance {jax_acc:.3f}")
+
+    # ---------------- comparison -------------------------------------------
+    n = args.n_check
+    m_port = port_means.mean(axis=0)
+    m_jax = jax_means.mean(axis=0)
+    se_port = port_means.std(axis=0, ddof=1) / np.sqrt(len(port_means))
+    se_jax = jax_means.std(axis=0, ddof=1) / np.sqrt(len(jax_means))
+    z = (m_port - m_jax) / np.sqrt(se_port**2 + se_jax**2 + 1e-30)
+    sd_ratio = np.sqrt(port_vars.mean(axis=0) / np.maximum(jax_vars.mean(axis=0), 1e-30))
+
+    out = {
+        "config": {
+            "components": args.components, "steps": args.steps,
+            "burn": args.burn, "thin": args.thin,
+            "port_chains": args.port_chains, "jax_chains": args.jax_chains,
+            "jax_backend": jax.default_backend(),
+            "shortlist_disabled": os.environ.get("ICP_TPU_NO_SHORTLIST"),
+            "density": "parity (reference semantics)",
+        },
+        "port": {
+            "acceptance": port_acc,
+            "mean_first": m_port[:n].tolist(),
+            "se_first": se_port[:n].tolist(),
+            "wall_s": round(port_wall, 1),
+        },
+        "jax": {
+            "acceptance": jax_acc,
+            "mean_first": m_jax[:n].tolist(),
+            "se_first": se_jax[:n].tolist(),
+            "wall_s": round(jax_wall, 1),
+        },
+        "z_first": z[:n].tolist(),
+        "max_abs_z_first": float(np.max(np.abs(z[:n]))),
+        "max_abs_z_all": float(np.max(np.abs(z))),
+        "sd_ratio_first": sd_ratio[:n].tolist(),
+        "pass_3sigma_first": bool(np.max(np.abs(z[:n])) < 3.0),
+    }
+    print(json.dumps({k: out[k] for k in
+                      ("max_abs_z_first", "max_abs_z_all", "pass_3sigma_first")}))
+    os.makedirs(os.path.dirname(args.out), exist_ok=True)
+    with open(args.out, "w") as f:
+        json.dump(out, f, indent=1)
+
+
+if __name__ == "__main__":
+    main()
