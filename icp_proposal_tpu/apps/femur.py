@@ -109,6 +109,59 @@ def make_icp_proposal_setup(data: FemurData, parity: bool = False):
     return ctx, mixture, evaluator
 
 
+def make_hybrid_setup(data: FemurData, icp_weight=0.5, mala_weight=0.4,
+                      mala_step=0.1, rw_sigma=0.1, step_length=0.1,
+                      sigma_eval=2.0, adapt=True):
+    """The RECOMMENDED exact-mode configuration (docs/MIXING.md §5):
+    0.5·ICP-mixture + 0.4·MALA + 0.1·random-walk with Robbins–Monro scale
+    adaptation, exact transition densities.
+
+    Rationale: under the exact density (½·log det M + relaxation Jacobian
+    restored — the corrections the reference omits), the paper's ICP
+    proposal alone accepts at only 2–5% because its normalizer is anchored
+    at the from-state (docs/MIXING.md §3); the gradient-informed MALA
+    component restores informed moves with a cheap exact reverse density,
+    and the hybrid has the best exact-mode ESS/step of every configuration
+    swept (artifacts/mixing_sweep.json).  Use ``make_icp_proposal_setup``
+    (optionally ``parity=True``) for reference-faithful comparison or
+    MAP-style fitting; use this for posterior inference."""
+    from icp_proposal_tpu.sampling.context import build_target_context
+    from icp_proposal_tpu.sampling.evaluators import proximity_and_independent
+    from icp_proposal_tpu.sampling.proposals import (
+        AdaptConfig,
+        MixtureProgram,
+        gradient_shape_proposal,
+        mixed_proposal_icp,
+        mixed_random_shape_proposal,
+        nest,
+    )
+
+    model = data.model
+    ctx = build_target_context(data.target, data.target_boundary_mask)
+    rw_weight = 1.0 - icp_weight - mala_weight
+    mixture = MixtureProgram(
+        nest(
+            (icp_weight, mixed_proposal_icp(
+                n_points=2 * model.rank,
+                projection_direction="model_and_target",
+                step_length=step_length,
+            )),
+            (mala_weight, gradient_shape_proposal((mala_step,))),
+            (rw_weight, mixed_random_shape_proposal((rw_sigma,))),
+        ),
+        model,
+        ctx,
+        np.asarray(data.model_boundary_mask),
+        parity=False,
+        adapt=AdaptConfig() if adapt else None,
+    )
+    evaluator = proximity_and_independent(
+        model, ctx, mode="model_to_target", sigma=sigma_eval,
+        n_points=4 * model.rank,
+    )
+    return ctx, mixture, evaluator
+
+
 def make_random_walk_setup(data: FemurData, shape_steps=(0.1,), sigma_eval=2.0):
     """Random-walk-only configuration (the comparison chain of
     ``RunMHRandomInitComparison.scala``)."""
@@ -144,9 +197,14 @@ def run_icp_proposal_registration(
     verbose: bool = True,
     resume_log=None,
     resume_mode: str = "best",
+    setup: str = "flagship",
 ):
     """End-to-end flagship run (reference ``IcpProposalRegistration.main``).
 
+    setup: "flagship" = the reference recipe with exact densities;
+    "parity" = the reference recipe with its own (biased) transition
+    density; "hybrid" = the recommended exact-mode ICP+MALA+RW
+    configuration (``make_hybrid_setup``; docs/MIXING.md §5).
     resume_log: restart from a previous run's JSON chain log (mode "best" =
     MAP record, "last" = continue the chain)."""
     import jax
@@ -156,7 +214,12 @@ def run_icp_proposal_registration(
     from icp_proposal_tpu.sampling.state import transformed_mesh
 
     data = load_femur_data(model_components)
-    ctx, mixture, evaluator = make_icp_proposal_setup(data)
+    if setup == "hybrid":
+        ctx, mixture, evaluator = make_hybrid_setup(data)
+    else:
+        ctx, mixture, evaluator = make_icp_proposal_setup(
+            data, parity=(setup == "parity")
+        )
     reg = SamplingRegistration(
         data.model, data.target, mixture, evaluator, verbose=verbose
     )
@@ -232,6 +295,12 @@ if __name__ == "__main__":
     p.add_argument("--resume-log", type=str, default=None,
                    help="restart from a previous run's JSON chain log")
     p.add_argument("--resume-mode", choices=["best", "last"], default="best")
+    p.add_argument("--setup", choices=["flagship", "parity", "hybrid"],
+                   default="flagship",
+                   help="flagship = reference recipe, exact densities; "
+                        "parity = reference recipe + reference density; "
+                        "hybrid = recommended exact-mode ICP+MALA+RW "
+                        "(docs/MIXING.md §5)")
     args = p.parse_args()
     if args.mode == "proposal":
         run_icp_proposal_registration(
@@ -241,6 +310,7 @@ if __name__ == "__main__":
             json_path=args.json,
             resume_log=args.resume_log,
             resume_mode=args.resume_mode,
+            setup=args.setup,
         )
     else:
         run_deterministic_icp(

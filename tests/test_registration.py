@@ -310,3 +310,29 @@ def test_extract_best_raises_without_accepted_sample(femur_data):
     )
     with pytest.raises(ValueError, match="no accepted sample"):
         reg._extract_best(fake)
+
+
+def test_hybrid_setup_runs_and_fits(femur_data):
+    """VERDICT r2 item 3: the recommended exact-mode configuration
+    (0.5 ICP + 0.4 MALA + 0.1 RW, adaptation on — docs/MIXING.md §5) ships
+    as a named entry point and samples with healthy acceptance."""
+    from icp_proposal_tpu.apps.femur import make_hybrid_setup
+
+    ctx, mixture, evaluator = make_hybrid_setup(femur_data)
+    assert mixture.parity is False and mixture.adapt is not None
+    step = mh.make_mh_step(femur_data.model, mixture, evaluator, store_params=True)
+    n_chains = 4
+    carry0 = jax.jit(
+        lambda s: mh.init_carry(femur_data.model, evaluator, s, mixture)
+    )(init_state(femur_data.model))
+    carries = jax.tree.map(
+        lambda x: jnp.broadcast_to(x, (n_chains,) + x.shape), carry0
+    )
+    keys = jax.random.split(jax.random.PRNGKey(5), n_chains)
+    final, rec = mh.run_chains(step, carries, keys, 120)
+    acc = np.asarray(rec.accepted)
+    assert 0.05 < acc.mean() < 0.95
+    assert np.isfinite(np.asarray(rec.log_product)).all()
+    # MALA + ICP components both present and selected
+    names = mixture.names
+    assert any("MALA" in n for n in names) and any("Icp" in n for n in names)
