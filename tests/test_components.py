@@ -416,6 +416,22 @@ def test_bfm_dataset_prep_and_load(tmp_path):
     assert data.target_partial.num_points < data.target.num_points
     assert data.partial_boundary_mask.any()
 
+    # the fitting apps must run end-to-end on the REAL-layout data (VERDICT
+    # r2 item 8: the real-asset path had never driven a chain)
+    from icp_proposal_tpu.apps.bfm import make_bfm_fitting_setup
+    from icp_proposal_tpu.sampling import mh
+    from icp_proposal_tpu.sampling.state import init_state
+
+    for partial in (False, True):
+        ctx, mixture, evaluator = make_bfm_fitting_setup(data, partial=partial)
+        step = mh.make_mh_step(data.model, mixture, evaluator, store_params=False)
+        carry = jax.jit(
+            lambda s: mh.init_carry(data.model, evaluator, s, mixture)
+        )(init_state(data.model))
+        final, rec = mh.run_chain(step, carry, jax.random.PRNGKey(0), 25)
+        assert bool(jnp.isfinite(final.log_post))
+        assert np.asarray(rec.accepted).shape == (25,)
+
 
 # ------------------------------------------------- max-statistic exactness
 
