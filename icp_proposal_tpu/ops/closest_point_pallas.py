@@ -464,10 +464,16 @@ def _make_refine_kernel(k: int, gb: int):
             a, b, c = corners[0:3], corners[3:6], corners[6:9]
             d2 = _tile_dist2(q, a, b, c)  # [TP, K]
             best = jnp.min(d2, axis=1, keepdims=True)
-            # first winning lane (tie-safe: face id and coords must come from
-            # the SAME lane)
+            # tie-break on the SMALLEST FACE ID among distance-tied lanes —
+            # matching the dense kernel's argmin order, so fidx-based
+            # correspondences are reproducible across the index and dense
+            # paths (ADVICE r2 item 3); then pick one lane of that face
+            # (shortlists may pad with duplicate faces) so face id and
+            # coords come from the SAME lane
             lane = jax.lax.broadcasted_iota(jnp.int32, d2.shape, 1)
-            kidx = jnp.min(jnp.where(d2 == best, lane, jnp.int32(2**30)),
+            fid_tied = jnp.where(d2 == best, faces_ref[g, :, :], jnp.int32(2**30))
+            fmin = jnp.min(fid_tied, axis=1, keepdims=True)
+            kidx = jnp.min(jnp.where(fid_tied == fmin, lane, jnp.int32(2**30)),
                            axis=1, keepdims=True)
             onehot = lane == kidx  # [TP, K], exactly one lane set
             # winner FACE id selected in-lane (a take_along_axis outside the

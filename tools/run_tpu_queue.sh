@@ -20,6 +20,12 @@ echo "=== 3. bench sweep: chains x components ===" >&2
 for comp in 50 100 200; do
   for ch in 64 256 1024 2048; do
     line=$(timeout 900 env BENCH_VERBOSE=0 BENCH_COMPONENTS=$comp BENCH_CHAINS=$ch python bench.py 2>>"$Q/bench_sweep.err")
+    rc=$?
+    # a crashed/empty bench must still produce VALID JSON (ADVICE r2 item 2:
+    # a kernel fault at comp=200,ch=2048 spliced '"result": }' into the file)
+    if [ -z "$line" ]; then
+      line="{\"error\": \"bench produced no output (rc=$rc)\"}"
+    fi
     echo "{\"components\": $comp, \"chains\": $ch, \"result\": $line}" >>"$Q/bench_sweep.jsonl"
     echo "comp=$comp chains=$ch -> $line" >&2
   done
