@@ -73,26 +73,51 @@ def main():
     ap.add_argument("--n-check", type=int, default=10,
                     help="leading coefficients compared by z-score")
     ap.add_argument("--out", default="artifacts/posterior_parity_crossimpl.json")
+    ap.add_argument("--port-cache", default="artifacts/crossimpl_port_moments.npz",
+                    help="cache of the (expensive) port-chain moments; reused "
+                         "when config matches so a TPU-side failure doesn't "
+                         "re-pay ~20 min of single-core sampling")
+    ap.add_argument("--port-only", action="store_true",
+                    help="run only the CPU port phase and write the cache")
     args = ap.parse_args()
 
     import numpy as np
 
-    # ---------------- CPU port side (multiprocessing) ----------------------
-    from multiprocessing import Pool
+    # ---------------- CPU port side (multiprocessing, cached) --------------
+    cfg_sig = np.asarray(
+        [args.components, args.steps, args.burn, args.thin, args.port_chains]
+    )
+    cached = None
+    if args.port_cache and os.path.exists(args.port_cache):
+        z = np.load(args.port_cache)
+        if np.array_equal(z["cfg"], cfg_sig):
+            cached = z
+    if cached is not None:
+        port_means, port_vars = cached["means"], cached["vars"]
+        port_acc, port_wall = float(cached["acc"]), float(cached["wall"])
+        print(f"[port] using cached moments from {args.port_cache}")
+    else:
+        from multiprocessing import Pool
 
-    t0 = time.perf_counter()
-    work = [
-        (args.components, args.steps, args.burn, args.thin, 1000 + i)
-        for i in range(args.port_chains)
-    ]
-    with Pool(args.procs) as pool:
-        port_results = pool.map(_run_port_chain, work)
-    port_means = np.stack([r[0] for r in port_results])  # [K, r]
-    port_vars = np.stack([r[1] for r in port_results])
-    port_acc = float(np.mean([r[2] for r in port_results]))
-    port_wall = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        work = [
+            (args.components, args.steps, args.burn, args.thin, 1000 + i)
+            for i in range(args.port_chains)
+        ]
+        with Pool(args.procs) as pool:
+            port_results = pool.map(_run_port_chain, work)
+        port_means = np.stack([r[0] for r in port_results])  # [K, r]
+        port_vars = np.stack([r[1] for r in port_results])
+        port_acc = float(np.mean([r[2] for r in port_results]))
+        port_wall = time.perf_counter() - t0
+        if args.port_cache:
+            os.makedirs(os.path.dirname(args.port_cache), exist_ok=True)
+            np.savez(args.port_cache, cfg=cfg_sig, means=port_means,
+                     vars=port_vars, acc=port_acc, wall=port_wall)
     print(f"[port] {args.port_chains} chains x {args.steps} steps in "
           f"{port_wall:.0f}s, acceptance {port_acc:.3f}")
+    if args.port_only:
+        return
 
     # ---------------- JAX framework side (parity mode) ---------------------
     import jax
