@@ -156,9 +156,24 @@ def main():
         lambda x: jnp.broadcast_to(x, (n_chains,) + x.shape), carry0
     )
     keys = jax.random.split(jax.random.PRNGKey(99), n_chains)
-    final, records = mh.run_chains(step, carries, keys, args.steps)
-    cand = np.asarray(records.coeffs)  # [C, T, r] candidates
-    acc = np.asarray(records.accepted)  # [C, T]
+    # segmented host loop: one 20k-step scan compiles to a program large
+    # enough to crash the tunneled axon worker; identical math in segments
+    # (run_chains caches the jitted segment, so one compile total)
+    seg = 1000
+    carry = carries
+    cand_parts, acc_parts = [], []
+    done = 0
+    s_idx = 0
+    while done < args.steps:
+        n = min(seg, args.steps - done)
+        seg_keys = jax.vmap(lambda k: jax.random.fold_in(k, s_idx))(keys)
+        carry, records = mh.run_chains(step, carry, seg_keys, n)
+        cand_parts.append(np.asarray(records.coeffs))
+        acc_parts.append(np.asarray(records.accepted))
+        done += n
+        s_idx += 1
+    cand = np.concatenate(cand_parts, axis=1)  # [C, T, r] candidates
+    acc = np.concatenate(acc_parts, axis=1)  # [C, T]
     init = np.zeros(cand.shape[-1], cand.dtype)
     jax_means, jax_vars = [], []
     for c in range(n_chains):
