@@ -196,6 +196,20 @@ def main():
     z = (m_port - m_jax) / np.sqrt(se_port**2 + se_jax**2 + 1e-30)
     sd_ratio = np.sqrt(port_vars.mean(axis=0) / np.maximum(jax_vars.mean(axis=0), 1e-30))
 
+    # Welch t-test: with only a handful of port chains the normal-z reading
+    # of the statistic is anticonservative (the between-chain variance is
+    # itself noisy, df ≈ port_chains − 1); Welch-Satterthwaite df + t
+    # p-values are the honest criterion
+    from scipy import stats as sstats
+
+    v1, n1 = se_port**2, len(port_means)
+    v2, n2 = se_jax**2, len(jax_means)
+    df = (v1 + v2) ** 2 / (v1**2 / (n1 - 1) + v2**2 / (n2 - 1) + 1e-300)
+    p = 2.0 * sstats.t.sf(np.abs(z), df)
+    # discrepancy in units the posterior itself defines
+    post_sd = np.sqrt(port_vars.mean(axis=0))
+    delta_in_sd = np.abs(m_port - m_jax) / np.maximum(post_sd, 1e-30)
+
     out = {
         "config": {
             "components": args.components, "steps": args.steps,
@@ -220,11 +234,20 @@ def main():
         "z_first": z[:n].tolist(),
         "max_abs_z_first": float(np.max(np.abs(z[:n]))),
         "max_abs_z_all": float(np.max(np.abs(z))),
+        "welch_df_first": df[:n].tolist(),
+        "welch_p_first": p[:n].tolist(),
+        "min_welch_p_first": float(np.min(p[:n])),
+        # Bonferroni over the n compared coefficients
+        "pass_welch_bonferroni_0p01": bool(np.min(p[:n]) * n > 0.01),
+        "delta_in_posterior_sd_first": delta_in_sd[:n].tolist(),
+        "max_delta_in_posterior_sd_first": float(np.max(delta_in_sd[:n])),
         "sd_ratio_first": sd_ratio[:n].tolist(),
         "pass_3sigma_first": bool(np.max(np.abs(z[:n])) < 3.0),
     }
     print(json.dumps({k: out[k] for k in
-                      ("max_abs_z_first", "max_abs_z_all", "pass_3sigma_first")}))
+                      ("max_abs_z_first", "max_abs_z_all", "pass_3sigma_first",
+                       "min_welch_p_first", "pass_welch_bonferroni_0p01",
+                       "max_delta_in_posterior_sd_first")}))
     os.makedirs(os.path.dirname(args.out), exist_ok=True)
     with open(args.out, "w") as f:
         json.dump(out, f, indent=1)
