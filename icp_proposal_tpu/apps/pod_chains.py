@@ -21,6 +21,10 @@ def main():
     p.add_argument("--components", type=int, default=100)
     p.add_argument("--seed", type=int, default=1024)
     p.add_argument("--init-variance", type=float, default=0.1)
+    p.add_argument("--segment-steps", type=int, default=100,
+                   help="host-looped scan segment length (bounds single-"
+                        "program runtime; the tunneled axon worker kills "
+                        "executions running longer than ~a minute)")
     p.add_argument("--host-diagnostics", action="store_true",
                    help="also gather the coefficient traces and recompute "
                         "R-hat/ESS on host (cross-check of the collective-"
@@ -75,7 +79,8 @@ def main():
     mesh = make_chain_mesh(devices)
     t0 = time.perf_counter()
     final, records, stats = run_sharded_chains(
-        step, carries, keys, args.steps, mesh, burn_in=args.steps // 5
+        step, carries, keys, args.steps, mesh, burn_in=args.steps // 5,
+        segment_steps=args.segment_steps,
     )
     # materialize only the pooled scalars — on the tunneled axon platform
     # block_until_ready alone can return early; fetching forces completion

@@ -53,7 +53,7 @@ def make_chain_mesh(devices=None, axis_name: str = "chains") -> Mesh:
 
 def run_sharded_chains(step, carries, keys, n_steps: int, mesh: Mesh,
                        axis_name: str = "chains", burn_in: int = 0,
-                       diag_coeffs: int = 8):
+                       diag_coeffs: int = 8, segment_steps: int | None = None):
     """Run vmapped chains sharded over the mesh; returns (final carries,
     records, PooledStats).  Per-shard: scan over steps inside one program;
     diagnostics pooled with ``psum`` over the chain axis (rides ICI on a real
@@ -63,9 +63,18 @@ def run_sharded_chains(step, carries, keys, n_steps: int, mesh: Mesh,
     first ``diag_coeffs`` coefficients and ESS of coefficient 0 are pooled
     inside the shard via psum moment sums — the [C, T, r] traces never leave
     their shard for diagnostics.
+
+    segment_steps: split the run into host-looped scan segments of at most
+    this many steps (each ONE compiled program, reused across segments) and
+    pool diagnostics once at the end over the concatenated device-resident
+    records.  Identical math to the single-shot path when per-segment keys
+    are folded the same way; needed on runtimes that kill executions running
+    longer than ~a minute (the tunneled axon worker) and useful generally to
+    bound program runtime at large step counts.
     """
 
     n_chains = jax.tree.leaves(carries)[0].shape[0]
+    single_dev = mesh.devices.size == 1
 
     def _diag(records, axis):
         if records.coeffs is None:
@@ -76,54 +85,73 @@ def run_sharded_chains(step, carries, keys, n_steps: int, mesh: Mesh,
             pooled_ess(tail[..., 0], axis),
         )
 
-    def shard_fn(carries, keys):
-        final, records = jax.vmap(
-            lambda c, k: mh.run_chain(step, c, k, n_steps)
-        )(carries, keys)
-
-        # pooled diagnostics over ALL chains (local mean + psum)
-        n_local = jnp.asarray(records.accepted.shape[0], jnp.float32)
-        n_total = jax.lax.psum(n_local, axis_name)
-        w = n_local / n_total
-
-        acc = jax.lax.psum(
-            w * jnp.mean(records.accepted[:, burn_in:].astype(jnp.float32)),
-            axis_name,
-        )
+    def _stats(final, records, axis):
+        if axis is not None:
+            n_local = jnp.asarray(records.accepted.shape[0], jnp.float32)
+            n_total = jax.lax.psum(n_local, axis)
+            w = n_local / n_total
+            psum = lambda x: jax.lax.psum(w * x, axis)  # noqa: E731
+        else:
+            psum = lambda x: x  # noqa: E731
+        acc = psum(jnp.mean(records.accepted[:, burn_in:].astype(jnp.float32)))
         coeffs = final.state.coeffs  # [local_chains, r]
-        mean_local = jnp.mean(coeffs, axis=0)
-        mean = jax.lax.psum(w * mean_local, axis_name)
-        sq = jax.lax.psum(w * jnp.mean(coeffs * coeffs, axis=0), axis_name)
+        mean = psum(jnp.mean(coeffs, axis=0))
+        sq = psum(jnp.mean(coeffs * coeffs, axis=0))
         var = sq - mean * mean
-        lp = jax.lax.psum(w * jnp.mean(final.log_post), axis_name)
-        rhat, ess = _diag(records, axis_name)
-        return final, records, PooledStats(acc, mean, var, lp, rhat, ess)
+        lp = psum(jnp.mean(final.log_post))
+        rhat, ess = _diag(records, axis)
+        return PooledStats(acc, mean, var, lp, rhat, ess)
 
-    if mesh.devices.size == 1:
-        # single-device fast path: collectives are identities, and shard_map
-        # hangs on some experimental single-chip platforms (tunneled axon)
-        @jax.jit
-        def single(carries, keys):
+    def _run(carries, keys, steps):
+        """One scan segment + stats (single-shot path uses steps=n_steps)."""
+
+        def shard_fn(carries, keys):
             final, records = jax.vmap(
-                lambda c, k: mh.run_chain(step, c, k, n_steps)
+                lambda c, k: mh.run_chain(step, c, k, steps)
             )(carries, keys)
-            acc = jnp.mean(records.accepted[:, burn_in:].astype(jnp.float32))
-            coeffs = final.state.coeffs
-            mean = jnp.mean(coeffs, axis=0)
-            var = jnp.mean(coeffs * coeffs, axis=0) - mean * mean
-            lp = jnp.mean(final.log_post)
-            rhat, ess = _diag(records, None)
-            return final, records, PooledStats(acc, mean, var, lp, rhat, ess)
+            return final, records
 
-        return single(carries, keys)
+        if single_dev:
+            # single-device fast path: collectives are identities, and
+            # shard_map hangs on some experimental single-chip platforms
+            return jax.jit(shard_fn)(carries, keys)
+        spec = P(axis_name)
+        sharded = shard_map(
+            shard_fn, mesh=mesh, in_specs=(spec, spec),
+            out_specs=(spec, spec), check_vma=False,
+        )
+        with mesh:
+            return jax.jit(sharded)(carries, keys)
 
-    spec = P(axis_name)
-    sharded = shard_map(
-        shard_fn,
-        mesh=mesh,
-        in_specs=(spec, spec),
-        out_specs=(spec, spec, P()),
-        check_vma=False,
-    )
-    with mesh:
-        return jax.jit(sharded)(carries, keys)
+    def _pool(final, records):
+        """Diagnostics-only program over the (possibly concatenated) records."""
+        if single_dev:
+            return jax.jit(lambda f, r: _stats(f, r, None))(final, records)
+        spec = P(axis_name)
+        sharded = shard_map(
+            lambda f, r: _stats(f, r, axis_name),
+            mesh=mesh, in_specs=(spec, spec), out_specs=P(),
+            check_vma=False,
+        )
+        with mesh:
+            return jax.jit(sharded)(final, records)
+
+    if segment_steps is None or segment_steps >= n_steps:
+        final, records = _run(carries, keys, n_steps)
+        return final, records, _pool(final, records)
+
+    # segmented host loop: same compiled segment reused (mh.run_chain caches
+    # by (step, steps)); records stay device-resident and sharded
+    carry = carries
+    parts = []
+    done = 0
+    s_idx = 0
+    while done < n_steps:
+        n = min(segment_steps, n_steps - done)
+        seg_keys = jax.vmap(lambda k: jax.random.fold_in(k, s_idx))(keys)
+        carry, rec = _run(carry, seg_keys, n)
+        parts.append(rec)
+        done += n
+        s_idx += 1
+    records = jax.tree.map(lambda *xs: jnp.concatenate(xs, axis=1), *parts)
+    return carry, records, _pool(carry, records)

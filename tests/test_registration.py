@@ -336,3 +336,53 @@ def test_hybrid_setup_runs_and_fits(femur_data):
     # MALA + ICP components both present and selected
     names = mixture.names
     assert any("MALA" in n for n in names) and any("Icp" in n for n in names)
+
+
+def test_sharded_runner_segmented_diagnostics():
+    """Segmented execution (bounds single-program runtime on runtimes that
+    kill long executions) must still produce pooled diagnostics that equal
+    the host formulas over the full concatenated trace."""
+    from icp_proposal_tpu.parallel.runner import make_chain_mesh, run_sharded_chains
+
+    points, cells = make_icosphere(subdivisions=1, radius=50.0)
+    model = make_synthetic_gpmm(points, cells, rank=4, sigma=40.0, scale=4.0)
+    alpha = jnp.zeros(4).at[0].set(1.0)
+    target = TriangleMesh(points=gp.instance_points(model, alpha), cells=model.cells)
+    ctx = build_target_context(target)
+    mixture = MixtureProgram(
+        nest(
+            (0.8, [(1.0, IcpSpec(direction="model", n_points=12, step_length=0.2))]),
+            (0.2, [(1.0, RandomShapeSpec(sigma=0.2))]),
+        ),
+        model, ctx,
+        jnp.asarray(boundary_vertex_mask(np.asarray(model.cells), model.num_points)),
+    )
+    evaluator = build_evaluator(
+        model, ctx,
+        [IndependentPointsSpec(sigma=1.0, mode="model_to_target", n_points=16)],
+    )
+    step = mh.make_mh_step(model, mixture, evaluator, store_params=True)
+
+    n_chains, n_steps, seg = 16, 60, 25
+    carry0 = mh.init_carry(model, evaluator, init_state(model), mixture)
+    carries = jax.tree.map(
+        lambda x: jnp.broadcast_to(x, (n_chains,) + x.shape), carry0
+    )
+    keys = jax.random.split(jax.random.PRNGKey(3), n_chains)
+    final, records, stats = run_sharded_chains(
+        step, carries, keys, n_steps, make_chain_mesh(), burn_in=10,
+        segment_steps=seg,
+    )
+    assert np.asarray(records.accepted).shape == (n_chains, n_steps)
+    tail = jnp.asarray(np.asarray(records.coeffs))[:, 10:, :8]
+    np.testing.assert_allclose(
+        np.asarray(stats.rhat), np.asarray(diagnostics.split_rhat(tail)),
+        rtol=1e-4, atol=1e-5,
+    )
+    np.testing.assert_allclose(
+        float(stats.ess), float(diagnostics.ess(tail[..., 0])), rtol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(stats.coeff_mean),
+        np.asarray(final.state.coeffs).mean(axis=0), rtol=1e-5, atol=1e-6,
+    )
