@@ -431,8 +431,158 @@ def _nearest_vertices_pallas_vmap(axis_size, in_batched, queries, points):
     return idx, True
 
 
-# the shortlist coarse stage is the same exact nearest-vertex kernel
-coarse_nearest_pallas = nearest_vertices_pallas
+# ---------------------------------------------------------------------------
+# MXU coarse nearest-vertex kernel (shortlist stage 1)
+# ---------------------------------------------------------------------------
+#
+# The coarse pass only has to pick a *shortlist anchor* vertex; stage 2
+# (refine over that vertex's K pregathered faces) is exact.  That licenses
+# the dot-product distance form
+#
+#     argmin_v ‖q − v‖²  ==  argmin_v (‖v‖² − 2·q·v)            (exact arith)
+#
+# which turns the whole distance block into ONE matmul: augment queries to
+# qa = (qx, qy, qz, 1, 0·4) and vertices to va = (−2vx, −2vy, −2vz, ‖v‖²,
+# 0·4), then qa·va = ‖v‖² − 2 q·v and the [TP, chunk] block comes off the
+# MXU instead of ~8 VPU ops/element (the subtractive form above).
+#
+# MEASURED NEGATIVE RESULT (v5e, B=2048, P=400, femur target — keep for the
+# record; tools/micro_coarse.py reproduces it):
+#   * DEFAULT matmul precision truncates f32 inputs to bf16 on the MXU:
+#     6.5 ms/iter (2× the VPU kernel's 12.5 ms) but anchor true-distance
+#     errors up to 2.3e2 mm² at femur coordinate scale — breaks the index's
+#     near-surface-exactness contract.  Unusable.
+#   * Precision.HIGHEST (3-pass bf16 decomposition) restores exactness
+#     (≤3.3e-3 mm² gap, pure f32 cancellation) but costs 17.8 ms/iter —
+#     slower than the subtractive VPU kernel.
+# So the VPU kernel stays the default; ICP_TPU_COARSE_MXU=1 opts in to the
+# HIGHEST-precision MXU form (it may win on hardware with a faster f32
+# matmul path or larger V).  Exact ``findClosestPoint`` semantics
+# (target-direction correspondences, reference NonRigidIcpProposal.scala:118)
+# always use the subtractive ``nearest_vertices_pallas`` above.
+
+
+def _make_coarse_mxu_kernel(gb: int, vp: int):
+    n_chunks = -(-vp // NV_CHUNK)
+
+    def kernel(q_ref, va_ref, idx_ref):
+        for g in range(gb):
+            qa = q_ref[g]  # [TP, 8]
+            best_min = None
+            best_idx = None
+            for c in range(n_chunks):
+                lo = c * NV_CHUNK
+                w = min(NV_CHUNK, vp - lo)
+                # HIGHEST precision: TPU DEFAULT truncates f32 matmul inputs
+                # to bf16 (one MXU pass) — measured 2.3e2 mm² anchor-distance
+                # error at femur scale; the 3-pass f32 form restores ~2⁻²⁴
+                # relative error and still beats the VPU subtractive kernel
+                s = jnp.dot(
+                    qa, va_ref[:, lo:lo + w],
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST,
+                )  # [TP, w] — MXU
+                lane = jax.lax.broadcasted_iota(jnp.int32, (TP, w), 1) + lo
+                chunk_min = jnp.min(s, axis=1, keepdims=True)
+                chunk_idx = jnp.min(
+                    jnp.where(s == chunk_min, lane, jnp.int32(2**30)),
+                    axis=1, keepdims=True,
+                )
+                if best_min is None:
+                    best_min, best_idx = chunk_min, chunk_idx
+                else:
+                    better = chunk_min < best_min
+                    best_min = jnp.where(better, chunk_min, best_min)
+                    best_idx = jnp.where(better, chunk_idx, best_idx)
+            idx_ref[g, 0, :, :] = best_idx
+
+    return kernel
+
+
+def pack_points_aug(points) -> jax.Array:
+    """points [V, 3] → augmented SoA [8, Vp] for the MXU coarse kernel:
+    rows (−2x, −2y, −2z, ‖v‖², 0, 0, 0, 0); padding lanes carry ‖v‖² = 1e30
+    so they never win the argmin."""
+    pts = jnp.asarray(points, jnp.float32)
+    v = pts.shape[-2]
+    vp = -(-v // TF) * TF
+    n2 = jnp.sum(pts * pts, axis=-1)[None, :]  # [1, V]
+    rows = jnp.concatenate(
+        [jnp.swapaxes(-2.0 * pts, -1, -2), n2,
+         jnp.zeros((4, v), jnp.float32)], axis=0)  # [8, V]
+    pad = jnp.zeros((8, vp - v), jnp.float32).at[3, :].set(1e30)
+    return jnp.concatenate([rows, pad], axis=1)
+
+
+def _augment_queries(queries) -> jax.Array:
+    """[..., P, 3] → [..., P, 8]: (x, y, z, 1, 0·4)."""
+    shp = queries.shape[:-1]
+    return jnp.concatenate(
+        [queries,
+         jnp.ones(shp + (1,), jnp.float32),
+         jnp.zeros(shp + (4,), jnp.float32)], axis=-1)
+
+
+def _coarse_mxu_call(queries, va, interpret=False):
+    """queries [B, P, 3]; va [8, Vp] (shared static surface) → ids [B, P]."""
+    bsz, p, _ = queries.shape
+    pp = -(-p // TP) * TP
+    vp = va.shape[-1]
+    gb = min(GB, bsz)
+    bp = -(-bsz // gb) * gb
+    qa = _augment_queries(queries)
+    qpad = jnp.pad(qa, ((0, bp - bsz), (0, pp - p), (0, 0)))
+    idx = pl.pallas_call(
+        _make_coarse_mxu_kernel(gb, vp),
+        grid=(bp // gb, pp // TP),
+        in_specs=[
+            pl.BlockSpec((gb, TP, 8), lambda b, pt: (b, pt, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, vp), lambda b, pt: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((gb, 1, TP, 1), lambda b, pt: (b, pt, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((bp, pp // TP, TP, 1), jnp.int32),
+        interpret=interpret,
+    )(qpad, va)
+    return idx.reshape(bp, pp)[:bsz, :p]
+
+
+@functools.partial(jax.custom_batching.custom_vmap)
+def coarse_nearest_mxu(queries, points):
+    """MXU-form coarse nearest vertex: (queries [P,3], points [V,3]) → ids [P].
+    Shortlist stage 1 only — near-tied anchors may swap (see block comment)."""
+    interpret = jax.default_backend() != "tpu"
+    return _coarse_mxu_call(queries[None], pack_points_aug(points),
+                            interpret=interpret)[0]
+
+
+@coarse_nearest_mxu.def_vmap
+def _coarse_nearest_mxu_vmap(axis_size, in_batched, queries, points):
+    q_batched, p_batched = in_batched
+    if p_batched:
+        # batched surfaces: no shared augmented table — take the exact kernel
+        ids = _nearest_vertices_pallas_vmap(
+            axis_size, in_batched, queries, points)[0]
+        return ids, True
+    interpret = jax.default_backend() != "tpu"
+    if not q_batched:
+        queries = jnp.broadcast_to(queries, (axis_size,) + queries.shape)
+    ids = _coarse_mxu_call(queries, pack_points_aug(points),
+                           interpret=interpret)
+    return ids, True
+
+
+def coarse_nearest_pallas(queries, points):
+    """Shortlist coarse stage: exact subtractive VPU kernel (measured
+    fastest at exactness — see the MXU block comment above);
+    ICP_TPU_COARSE_MXU=1 opts in to the HIGHEST-precision MXU form."""
+    import os
+
+    if os.environ.get("ICP_TPU_COARSE_MXU") == "1":
+        return coarse_nearest_mxu(queries, points)
+    return nearest_vertices_pallas(queries, points)
 
 
 # ---------------------------------------------------------------------------

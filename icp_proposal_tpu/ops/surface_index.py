@@ -7,8 +7,10 @@ and data-dependent — hostile to the TPU's execution model — while the dense
 all-pairs kernel is exact but pays ~85 VPU flops for every (query, face)
 pair.  The index splits the query into
 
-  1. a *coarse* nearest-vertex pass (MXU dot-product distance form,
-     ``coarse_nearest_pallas``) over the V target vertices, and
+  1. a *coarse* nearest-vertex pass (``coarse_nearest_pallas``: exact
+     subtractive VPU kernel; an MXU dot-product form exists but measured
+     slower at the required precision — see closest_point_pallas.py) over
+     the V target vertices, and
   2. an *exact* point→triangle cascade over a precomputed per-vertex
      shortlist ``cand[v] = the K faces nearest to vertex v`` (by exact
      point-triangle distance, computed offline in numpy).
@@ -25,7 +27,7 @@ the dense exact kernel.
 
 Flop budget per chain at the flagship femur workload (400 queries, 1,622
 vertices, 3,240 faces, K=64): dense = 400·3240·85 ≈ 110 MF on the VPU;
-index = 400·1622·3 VPU (+MXU dot) coarse + 400·64·85 ≈ 2.2 MF exact —
+index = 400·1622·8 VPU coarse + 400·64·85 ≈ 2.2 MF exact —
 an ~8× reduction of the dominant per-step cost.
 """
 from __future__ import annotations

@@ -94,3 +94,40 @@ def test_nearest_vertices_pallas(sphere, rng):
             np.asarray(jnp.min(d2i, axis=1)),
             rtol=1e-6,
         )
+
+
+def test_coarse_nearest_mxu(sphere, rng):
+    """MXU dot-product coarse kernel: anchors must be near-optimal — the
+    shifted metric (‖v‖² − 2q·v) may swap exact-arithmetic ties, but the
+    chosen vertex's true distance must match the optimum to f32
+    cancellation error (~‖v‖²·2⁻²⁴)."""
+    from icp_proposal_tpu.ops.closest_point_pallas import coarse_nearest_mxu
+
+    pts = jnp.asarray(np.asarray(sphere)[:, 0, :])  # vertex cloud, |v|~10
+    queries = jnp.asarray(rng.randn(37, 3) * 12, jnp.float32)
+    ids = coarse_nearest_mxu(queries, pts)
+    d2 = jnp.sum((queries[:, None] - pts[None]) ** 2, axis=-1)
+    chosen = d2[jnp.arange(queries.shape[0]), ids]
+    best = jnp.min(d2, axis=1)
+    np.testing.assert_allclose(np.asarray(chosen), np.asarray(best),
+                               rtol=1e-4, atol=1e-4)
+
+    # vmapped batched queries over a shared surface (the hot-path shape)
+    qb = jnp.asarray(rng.randn(3, 10, 3) * 12, jnp.float32)
+    ids_b = jax.vmap(lambda q: coarse_nearest_mxu(q, pts))(qb)
+    assert ids_b.shape == (3, 10)
+    for i in range(3):
+        d2i = jnp.sum((qb[i][:, None] - pts[None]) ** 2, axis=-1)
+        np.testing.assert_allclose(
+            np.asarray(d2i[jnp.arange(10), ids_b[i]]),
+            np.asarray(jnp.min(d2i, axis=1)), rtol=1e-4, atol=1e-4)
+
+    # batched points fall back to the exact subtractive kernel
+    ptsb = jnp.stack([pts, pts + 0.5])
+    qb2 = jnp.asarray(rng.randn(2, 10, 3) * 12, jnp.float32)
+    ids_b2 = jax.vmap(coarse_nearest_mxu)(qb2, ptsb)
+    for i in range(2):
+        d2i = jnp.sum((qb2[i][:, None] - ptsb[i][None]) ** 2, axis=-1)
+        np.testing.assert_allclose(
+            np.asarray(d2i[jnp.arange(10), ids_b2[i]]),
+            np.asarray(jnp.min(d2i, axis=1)), rtol=1e-6)
