@@ -603,41 +603,65 @@ RGB = 8  # batch elements per refine program (fat programs: DMA-bound, not
 
 
 def _make_refine_kernel(k: int, gb: int):
+    """Lane-paired cascade: at the K=64 default a [TP, K] tile fills only
+    half the 128-lane VPU width — every op pads the other half away.
+    Packing TWO queries' candidate rows side by side runs the cascade on
+    full-width [TP/2, 2K] tiles (measured 65.3 → 57.6 ms/iter for the whole
+    index chain at B=2048, P=400 — tools/micro_refine.py; bit-identical
+    output).  The per-half reductions after the cascade are cheap (~10 of
+    ~85 ops).  A nodiv variant measured the cascade's 5 VPU divides at
+    ~zero marginal cost; the residual gap to the ALU roofline is
+    per-program fixed cost, bounded by VMEM: the [gb, TP, 9K] block is
+    2.4 MB at gb=8, so fatter programs don't fit (~16 MB/core)."""
+    h = TP // 2
+
     def kernel(q_ref, trik_ref, faces_ref, fidx_ref, wtri_ref):
         for g in range(gb):
-            q = tuple(q_ref[g, :, i][:, None] for i in range(3))  # [TP, 1]
+            t = trik_ref[g]  # [TP, 9k]
+            fc = faces_ref[g]  # [TP, k]
+            q = q_ref[g]  # [TP, 3]
 
             def comp(i):
-                return trik_ref[g, :, i * k:(i + 1) * k]  # [TP, K]
+                return jnp.concatenate(
+                    [t[:h, i * k:(i + 1) * k], t[h:, i * k:(i + 1) * k]],
+                    axis=1)  # [h, 2k]: [query row r | query row r+h]
 
             corners = tuple(comp(i) for i in range(9))
-            a, b, c = corners[0:3], corners[3:6], corners[6:9]
-            d2 = _tile_dist2(q, a, b, c)  # [TP, K]
-            best = jnp.min(d2, axis=1, keepdims=True)
-            # tie-break on the SMALLEST FACE ID among distance-tied lanes —
-            # matching the dense kernel's argmin order, so fidx-based
-            # correspondences are reproducible across the index and dense
-            # paths (ADVICE r2 item 3); then pick one lane of that face
-            # (shortlists may pad with duplicate faces) so face id and
-            # coords come from the SAME lane
-            lane = jax.lax.broadcasted_iota(jnp.int32, d2.shape, 1)
-            fid_tied = jnp.where(d2 == best, faces_ref[g, :, :], jnp.int32(2**30))
-            fmin = jnp.min(fid_tied, axis=1, keepdims=True)
-            kidx = jnp.min(jnp.where(fid_tied == fmin, lane, jnp.int32(2**30)),
-                           axis=1, keepdims=True)
-            onehot = lane == kidx  # [TP, K], exactly one lane set
-            # winner FACE id selected in-lane (a take_along_axis outside the
-            # kernel measured 13 ms at B=2048 — XLA lowers batched
-            # along-axis gathers catastrophically)
-            fidx_ref[g, 0, :, :] = jnp.min(
-                jnp.where(onehot, faces_ref[g, :, :], jnp.int32(2**30)),
-                axis=1, keepdims=True,
-            )
-            sel = onehot.astype(jnp.float32)
-            for i in range(9):
-                wtri_ref[g, 0, :, i:i + 1] = jnp.sum(
-                    corners[i] * sel, axis=1, keepdims=True
-                )
+            qc = tuple(
+                jnp.concatenate([
+                    jnp.broadcast_to(q[:h, i][:, None], (h, k)),
+                    jnp.broadcast_to(q[h:, i][:, None], (h, k)),
+                ], axis=1) for i in range(3))
+            d2 = _tile_dist2(qc, corners[0:3], corners[3:6], corners[6:9])
+
+            lane = jax.lax.broadcasted_iota(jnp.int32, (h, k), 1)
+            for half, rows in ((0, slice(0, h)), (1, slice(h, TP))):
+                d2h = d2[:, half * k:(half + 1) * k]  # [h, k]
+                fh = fc[rows]  # [h, k]
+                best = jnp.min(d2h, axis=1, keepdims=True)
+                # tie-break on the SMALLEST FACE ID among distance-tied
+                # lanes — matching the dense kernel's argmin order, so
+                # fidx-based correspondences are reproducible across the
+                # index and dense paths (ADVICE r2 item 3); then pick one
+                # lane of that face (shortlists may pad with duplicate
+                # faces) so face id and coords come from the SAME lane
+                fid_tied = jnp.where(d2h == best, fh, jnp.int32(2**30))
+                fmin = jnp.min(fid_tied, axis=1, keepdims=True)
+                kidx = jnp.min(
+                    jnp.where(fid_tied == fmin, lane, jnp.int32(2**30)),
+                    axis=1, keepdims=True)
+                onehot = lane == kidx  # [h, k], exactly one lane set
+                # winner FACE id selected in-lane (a take_along_axis outside
+                # the kernel measured 13 ms at B=2048 — XLA lowers batched
+                # along-axis gathers catastrophically)
+                fidx_ref[g, 0, rows, :] = jnp.min(
+                    jnp.where(onehot, fh, jnp.int32(2**30)),
+                    axis=1, keepdims=True)
+                sel = onehot.astype(jnp.float32)
+                for i in range(9):
+                    ch = corners[i][:, half * k:(half + 1) * k]
+                    wtri_ref[g, 0, rows, i:i + 1] = jnp.sum(
+                        ch * sel, axis=1, keepdims=True)
 
     return kernel
 

@@ -1,9 +1,13 @@
 """Refine-kernel variants A/B on TPU (the measured hot spot of index_closest:
 ~47 of 73 ms at B=2048, P=400 — tools/micro_index.py FINE=1).
 
+NOTE: the packed variant SHIPPED as the default `_refine_call` kernel
+after this harness measured it (bit-identical, 65.3 → 57.6 ms/iter), so
+`base` now times the packed kernel too; the local copies below preserve
+the measured alternatives.
+
 Variants:
-    base     shipped refine_shortlist_pallas ([TP, K] tiles, K=64 → half the
-             VPU lane width padded away)
+    base     shipped refine_shortlist_pallas (now lane-paired)
     nodiv    same tiles, divides replaced by multiplies (timing-only, wrong
              math) — isolates the cost of the 5 VPU divides in the cascade
     packed   lane-paired: two queries' K-candidate rows side by side →
