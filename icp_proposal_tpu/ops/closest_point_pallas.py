@@ -577,7 +577,15 @@ def _coarse_nearest_mxu_vmap(axis_size, in_batched, queries, points):
 def coarse_nearest_pallas(queries, points):
     """Shortlist coarse stage: exact subtractive VPU kernel (measured
     fastest at exactness — see the MXU block comment above);
-    ICP_TPU_COARSE_MXU=1 opts in to the HIGHEST-precision MXU form."""
+    ICP_TPU_COARSE_MXU=1 opts in to the HIGHEST-precision MXU form.
+
+    NOTE trace-time semantics (same hazard class as ICP_TPU_CULLING): the
+    env var is read when the enclosing jit first traces, so flipping it
+    after compilation caches are warm has no effect on already-compiled
+    programs — set it before the first call of the process.  The MXU form
+    also only covers shared (unbatched) surfaces: vmap over the points
+    argument falls back to the exact VPU kernel
+    (``_coarse_nearest_mxu_vmap``, p_batched branch)."""
     import os
 
     if os.environ.get("ICP_TPU_COARSE_MXU") == "1":

@@ -27,8 +27,11 @@ the dense exact kernel.
 
 Flop budget per chain at the flagship femur workload (400 queries, 1,622
 vertices, 3,240 faces, K=64): dense = 400·3240·85 ≈ 110 MF on the VPU;
-index = 400·1622·8 VPU coarse + 400·64·85 ≈ 2.2 MF exact —
-an ~8× reduction of the dominant per-step cost.
+index = 400·1622·8 ≈ 5.2 MF VPU coarse + 400·64·85 ≈ 2.2 MF exact refine
+≈ 7.4 MF total — a ~15× flop reduction.  Measured wall-clock gain is ~2.7×
+(73.1 vs 194.6 ms per 100-step scan segment at 2,048 chains,
+``artifacts/PROFILE.md``): the shortlist path is memory-bound on the
+[B,P,K] gathers, not flop-bound.
 """
 from __future__ import annotations
 

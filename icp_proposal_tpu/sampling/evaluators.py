@@ -158,6 +158,15 @@ class EvaluatorProgram:
         terms = []
         if spec.mode in ("model_to_target", "symmetric"):
             q = points[self._model_ids[spec.name]]
+            # K=64 shortlist index (when the context carries one): exact in
+            # the near-surface regime; the measured log-likelihood
+            # perturbation vs the dense kernel is ≤1.2e-4 nats at the
+            # chain's init states and ≤7.8e-3 nats at adversarially far
+            # states (femur GPMM-50, σ=2 — pinned with 6× margin by
+            # test_independent_evaluator_shortlist_perturbation_bounded).
+            # Sum statistics tolerate this; max statistics do not and are
+            # routed dense (_hausdorff/_collective).  Reference queries are
+            # exact (IndependentPointDistanceEvaluator.scala:43,51).
             d2, _ = distances_auto(q, self.ctx.tri, self.ctx.index)
             terms.append(("m2t", jnp.sum(gaussian_logpdf(jnp.sqrt(d2), 0.0, spec.sigma))))
         if spec.mode in ("target_to_model", "symmetric"):

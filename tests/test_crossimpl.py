@@ -33,7 +33,6 @@ from icp_proposal_tpu.sampling.state import init_state
 
 
 def test_port_sampler_matches_jax_parity_chain():
-    from tools.crossimpl_parity import chain_state_trace
     from tools.reference_baseline_port import PortSampler
 
     points, cells = make_icosphere(subdivisions=1, radius=50.0)
@@ -96,17 +95,15 @@ def test_port_sampler_matches_jax_parity_chain():
     )
     keys = jax.random.split(jax.random.PRNGKey(42), n_chains)
     final, records = mh.run_chains(step, carries, keys, n_steps)
-    cand = np.asarray(records.coeffs)
+    # ChainRecord.coeffs is the post-step chain-state trace (round 4)
+    states = np.asarray(records.coeffs)
     acc = np.asarray(records.accepted)
     assert 0.05 < acc.mean() < 0.95
-    init = np.zeros(4, cand.dtype)
     jax_means = np.stack([
-        chain_state_trace(cand[c], acc[c], init)[burn::5].mean(axis=0)
-        for c in range(n_chains)
+        states[c][burn::5].mean(axis=0) for c in range(n_chains)
     ])
     jax_vars = np.stack([
-        chain_state_trace(cand[c], acc[c], init)[burn::5].var(axis=0, ddof=1)
-        for c in range(n_chains)
+        states[c][burn::5].var(axis=0, ddof=1) for c in range(n_chains)
     ])
 
     # --- moments agree within MC error --------------------------------------
@@ -121,3 +118,39 @@ def test_port_sampler_matches_jax_parity_chain():
     assert np.all((sd_ratio > 0.6) & (sd_ratio < 1.7)), (
         f"cross-impl posterior widths differ: sd_ratio={sd_ratio}"
     )
+
+
+def test_port_geometry_code_is_independent_but_agrees():
+    """VERDICT r3 item 5: the port computes its own seeded id subsets and
+    boundary masks.  This cross-checks the two independent implementations
+    against each other on real inputs — a bug in either one now FAILS here
+    (and would desynchronize the parity densities) instead of being
+    silently shared."""
+    from icp_proposal_tpu.mesh import boundary_vertex_mask
+    from icp_proposal_tpu.models.synthetic import make_icosphere
+    from icp_proposal_tpu.ops.surface_sampling import seeded_vertex_subset
+    from tools.reference_baseline_port import (
+        port_boundary_mask,
+        port_vertex_subset,
+    )
+
+    for v, n, seed in [(1622, 100, 1024), (1622, 408, 1024), (50, 12, 1025)]:
+        np.testing.assert_array_equal(
+            port_vertex_subset(v, n, seed), seeded_vertex_subset(v, n, seed)
+        )
+
+    # closed surface: no boundary anywhere
+    pts, cells = make_icosphere(subdivisions=2, radius=10.0)
+    m_port = port_boundary_mask(np.asarray(cells), len(pts))
+    m_fw = boundary_vertex_mask(np.asarray(cells), len(pts))
+    np.testing.assert_array_equal(m_port, m_fw)
+    assert not m_port.any()
+
+    # open surface: cut away faces touching the first 20 vertices
+    cells_np = np.asarray(cells)
+    keep = ~np.any(cells_np < 20, axis=1)
+    open_cells = cells_np[keep]
+    m_port = port_boundary_mask(open_cells, len(pts))
+    m_fw = boundary_vertex_mask(open_cells, len(pts))
+    np.testing.assert_array_equal(m_port, m_fw)
+    assert m_port.any()

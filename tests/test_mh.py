@@ -77,7 +77,6 @@ def test_random_walk_preserves_prior(sphere_model, sphere_target):
         _model_boundary(sphere_model),
     )
     _, records = _run(sphere_model, mixture, evaluator, n_chains=24, n_steps=1500)
-    # build the chain-of-states trace from the candidate params + accept flags
     coeffs = _chain_states(records)
     samples = coeffs[:, 500:, :].reshape(-1, RANK)
     assert abs(samples.mean()) < 0.1
@@ -85,16 +84,9 @@ def test_random_walk_preserves_prior(sphere_model, sphere_target):
 
 
 def _chain_states(records):
-    """Reconstruct per-step chain states from records (candidate coeffs when
-    accepted, previous state otherwise)."""
-    acc = np.asarray(records.accepted)  # [C, T]
-    cand = np.asarray(records.coeffs)  # [C, T, r]
-    out = np.empty_like(cand)
-    cur = cand[:, 0, :] * 0.0
-    for t in range(cand.shape[1]):
-        cur = np.where(acc[:, t][:, None], cand[:, t], cur)
-        out[:, t] = cur
-    return out
+    """Per-step chain states: since round 4, ``ChainRecord.coeffs`` stores
+    the post-step state directly (candidate on accept, held on reject)."""
+    return np.asarray(records.coeffs)
 
 
 def test_icp_proposal_preserves_prior(sphere_model, sphere_target):

@@ -289,6 +289,79 @@ def test_pooled_diagnostics_match_local_formulas(rng):
     )
 
 
+def test_records_hold_state_trace_low_acceptance():
+    """VERDICT r3 item 1: ChainRecord.coeffs must be the held chain-STATE
+    trace, and diagnostics on it must not read like iid proposal noise.
+
+    Runs a deliberately low-acceptance random walk (huge step) and asserts
+    (a) the recorded trace is constant across rejected steps (hold
+    semantics, matching the reference's LogHelper.scala:28-36 state
+    reconstruction), and (b) its pooled ESS is a small fraction of the ESS
+    a candidate (iid-noise-like) series of the same shape would show —
+    the failure mode this guards against reported ESS 7080 from chains at
+    acceptance 0.016."""
+    from icp_proposal_tpu.parallel.runner import make_chain_mesh, run_sharded_chains
+
+    points, cells = make_icosphere(subdivisions=1, radius=50.0)
+    model = make_synthetic_gpmm(points, cells, rank=4, sigma=40.0, scale=4.0)
+    target = TriangleMesh(
+        points=gp.instance_points(model, jnp.zeros(4)), cells=model.cells
+    )
+    ctx = build_target_context(target)
+    mixture = MixtureProgram(
+        nest((1.0, [(1.0, RandomShapeSpec(sigma=1.2))])),  # big step → rare accepts
+        model, ctx,
+        jnp.asarray(boundary_vertex_mask(np.asarray(model.cells), model.num_points)),
+    )
+    evaluator = build_evaluator(
+        model, ctx,
+        [IndependentPointsSpec(sigma=0.5, mode="model_to_target", n_points=16)],
+    )
+    step = mh.make_mh_step(model, mixture, evaluator, store_params=True)
+
+    n_chains, n_steps = 16, 240
+    carry0 = mh.init_carry(model, evaluator, init_state(model), mixture)
+    carries = jax.tree.map(
+        lambda x: jnp.broadcast_to(x, (n_chains,) + x.shape), carry0
+    )
+    keys = jax.random.split(jax.random.PRNGKey(11), n_chains)
+    final, records, stats = run_sharded_chains(
+        step, carries, keys, n_steps, make_chain_mesh(), burn_in=40,
+    )
+    acc = np.asarray(records.accepted)
+    coeffs = np.asarray(records.coeffs)
+    assert acc.mean() < 0.15, "test needs a low-acceptance chain"
+    assert acc.any(), "need at least one accept for the state to move"
+
+    # (a) hold semantics: rejected steps repeat the previous state exactly
+    rej = ~acc[:, 1:]
+    np.testing.assert_array_equal(
+        coeffs[:, 1:][rej], coeffs[:, :-1][rej],
+        err_msg="records must hold the state across rejected steps",
+    )
+    # ... and accepted steps (almost surely) move it
+    acc_t = acc[:, 1:]
+    moved = np.abs(coeffs[:, 1:] - coeffs[:, :-1]).max(axis=-1) > 0
+    assert moved[acc_t].all()
+
+    # (b) the pooled ESS (runs on the held trace) is far below what the
+    # candidate series would show: an iid-noise surrogate of the same shape
+    # has ESS ≈ C·T, the held trace at this acceptance a small fraction
+    tail = coeffs[:, 40:, 0]
+    surrogate = jnp.asarray(
+        np.random.default_rng(0).standard_normal(tail.shape).astype(np.float32)
+    )
+    ess_surrogate = float(diagnostics.pooled_ess(surrogate))
+    ess_held = float(stats.ess)
+    np.testing.assert_allclose(
+        ess_held, float(diagnostics.pooled_ess(jnp.asarray(tail))), rtol=1e-4
+    )
+    assert ess_held < 0.1 * ess_surrogate, (
+        f"held-trace ESS {ess_held:.0f} should be orders below the "
+        f"candidate-like series' {ess_surrogate:.0f}"
+    )
+
+
 def test_extract_best_raises_without_accepted_sample(femur_data):
     """VERDICT r2 item 7: argmax over all-(-inf) must fail loudly, like
     loggers.best_fitting_record (JSONAcceptRejectLogger.scala:142-146)."""

@@ -48,19 +48,6 @@ def _run_port_chain(args):
     return trace.mean(axis=0), trace.var(axis=0, ddof=1), acc
 
 
-def chain_state_trace(candidates, accepted, init):
-    """Reconstruct the chain-state trace from candidate records + accept
-    flags: state_t = candidates[last accepted t' ≤ t] (init before any)."""
-    import numpy as np
-
-    acc = np.asarray(accepted, bool)
-    t = acc.shape[0]
-    last = np.where(acc, np.arange(1, t + 1), 0)
-    last = np.maximum.accumulate(last)  # 0 = still at init
-    padded = np.concatenate([np.asarray(init)[None], np.asarray(candidates)], 0)
-    return padded[last]
-
-
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--components", type=int, default=50)
@@ -172,12 +159,12 @@ def main():
         acc_parts.append(np.asarray(records.accepted))
         done += n
         s_idx += 1
-    cand = np.concatenate(cand_parts, axis=1)  # [C, T, r] candidates
+    # ChainRecord.coeffs stores the post-step chain STATE directly (round 4)
+    states = np.concatenate(cand_parts, axis=1)  # [C, T, r] held states
     acc = np.concatenate(acc_parts, axis=1)  # [C, T]
-    init = np.zeros(cand.shape[-1], cand.dtype)
     jax_means, jax_vars = [], []
     for c in range(n_chains):
-        tr = chain_state_trace(cand[c], acc[c], init)[args.burn::args.thin]
+        tr = states[c][args.burn::args.thin]
         jax_means.append(tr.mean(axis=0))
         jax_vars.append(tr.var(axis=0, ddof=1))
     jax_means = np.stack(jax_means)

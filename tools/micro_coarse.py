@@ -68,16 +68,21 @@ def f_full(q):
     return perturb(q, jnp.sum(d2))
 
 
-# anchor agreement on femur-scale coordinates (cancellation check)
-ids_v = jax.jit(jax.vmap(lambda qi: nearest_vertices_pallas(qi, points)))(q0[:8])
-ids_m = jax.jit(jax.vmap(lambda qi: coarse_nearest_mxu(qi, points)))(q0[:8])
-agree = float(jnp.mean((ids_v == ids_m).astype(jnp.float32)))
-d2v = jnp.sum((q0[:8, :, None] - points[None, None]) ** 2, -1)
-tv = jnp.take_along_axis(d2v, ids_v[..., None], 2)[..., 0]
-tm = jnp.take_along_axis(d2v, ids_m[..., None], 2)[..., 0]
-print(f"anchor id agreement: {agree:.6f}; max true-d2 gap: "
-      f"{float(jnp.max(jnp.abs(tv - tm))):.3e} mm^2", flush=True)
+def main():
+    # anchor agreement on femur-scale coordinates (cancellation check)
+    ids_v = jax.jit(jax.vmap(lambda qi: nearest_vertices_pallas(qi, points)))(q0[:8])
+    ids_m = jax.jit(jax.vmap(lambda qi: coarse_nearest_mxu(qi, points)))(q0[:8])
+    agree = float(jnp.mean((ids_v == ids_m).astype(jnp.float32)))
+    d2v = jnp.sum((q0[:8, :, None] - points[None, None]) ** 2, -1)
+    tv = jnp.take_along_axis(d2v, ids_v[..., None], 2)[..., 0]
+    tm = jnp.take_along_axis(d2v, ids_m[..., None], 2)[..., 0]
+    print(f"anchor id agreement: {agree:.6f}; max true-d2 gap: "
+          f"{float(jnp.max(jnp.abs(tv - tm))):.3e} mm^2", flush=True)
 
-scan_time("coarse-vpu", f_vpu)
-scan_time("coarse-mxu", f_mxu)
-scan_time("full-index", f_full)
+    scan_time("coarse-vpu", f_vpu)
+    scan_time("coarse-mxu", f_mxu)
+    scan_time("full-index", f_full)
+
+
+if __name__ == "__main__":
+    main()

@@ -104,13 +104,9 @@ def run_config(data, label, n_chains, n_steps, **kw):
             "acceptance": float(acc[sel].mean()) if sel.any() else None,
         }
 
-    # chain-state traces for ESS (reconstruct: candidate on accept else hold)
-    cand = np.asarray(records.coeffs)  # [C, T, r]
-    states = np.empty_like(cand)
-    cur = np.zeros_like(cand[:, 0])
-    for t in range(cand.shape[1]):
-        cur = np.where(acc[:, t][:, None], cand[:, t], cur)
-        states[:, t] = cur
+    # chain-state traces for ESS — ChainRecord.coeffs stores the post-step
+    # chain state directly (round 4), no reconstruction needed
+    states = np.asarray(records.coeffs)  # [C, T, r]
     half = n_steps // 2
     post = states[:, half:, :]
     import jax.numpy as jnp2

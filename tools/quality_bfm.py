@@ -1,0 +1,97 @@
+import sys, os; sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))  # noqa: E401,E702
+"""BFM quality evidence: 10k-sample synthetic-face fitting runs (VERDICT r3
+item 7 — the flagship BFM workloads had only short-chain tests).
+
+Rows:
+  * ``complete`` — full-scan fitting (reference ``BfmFittingComplete.scala:76``:
+    0.4·pose + 0.55·ICP + 0.05·RW; Euclidean σ=3.0)
+  * ``partial``  — occluded-scan fitting (reference
+    ``BfmFittingPartial.scala:74-80``: collective avg/max boundary-aware
+    evaluator, Symmetric)
+
+Real BFM assets are license-gated (reference README.md:57-67); the synthetic
+stand-in face (``load_synthetic_face_data``: open patch + FaceKernel GPMM +
+drawn target + synthesized occlusion) exercises the identical pipeline.
+
+Writes artifacts/quality_bfm.json: per-row MAP surface error vs the COMPLETE
+ground-truth target, acceptance (overall + per-component), hold-trace ESS.
+"""
+import json
+import time
+
+import numpy as np
+
+OUT_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "artifacts"
+)
+
+
+def main():
+    from icp_proposal_tpu.utils.profiling import enable_compilation_cache
+
+    enable_compilation_cache()
+
+    import jax.numpy as jnp
+
+    from icp_proposal_tpu.apps.bfm import load_synthetic_face_data, run_bfm_fitting
+    from icp_proposal_tpu.ops.metrics import avg_distance, hausdorff_distance
+    from icp_proposal_tpu.sampling.diagnostics import ess
+    from icp_proposal_tpu.sampling.state import transformed_mesh
+
+    n_samples = int(os.environ.get("QUALITY_SAMPLES", "10000"))
+    n_chains = int(os.environ.get("QUALITY_CHAINS", "16"))
+    rank = int(os.environ.get("QUALITY_BFM_RANK", "24"))
+
+    os.makedirs(OUT_DIR, exist_ok=True)
+    data = load_synthetic_face_data(rank=rank)
+
+    rows = {}
+    for name, partial in (("complete", False), ("partial", True)):
+        t0 = time.time()
+        res, _ = run_bfm_fitting(
+            data, partial=partial, num_samples=n_samples, n_chains=n_chains,
+            verbose=True,
+        )
+        elapsed = time.time() - t0
+
+        # MAP error is ALWAYS judged against the complete ground-truth
+        # target — the point of the partial workload is reconstructing the
+        # occluded region (reference evaluates against the full scan)
+        best_mesh = transformed_mesh(data.model, res.best_state)
+        avg = float(avg_distance(best_mesh, data.target))
+        hd = float(hausdorff_distance(best_mesh, data.target))
+
+        states = np.asarray(res.records.coeffs)  # post-step chain-state trace
+        post = states[:, n_samples // 2:, :]
+        ess_first8 = np.asarray(
+            ess(jnp.asarray(post[:, :, : min(8, rank)]), max_lag=200)
+        )
+        rows[name] = {
+            "samples": n_samples,
+            "chains": n_chains,
+            "rank": rank,
+            "elapsed_s": elapsed,
+            "samples_per_sec": n_samples * n_chains / elapsed,
+            "map_avg_distance_vs_full_target": avg,
+            "map_hausdorff_vs_full_target": hd,
+            "best_log_product": res.best_log_value,
+            "acceptance": res.acceptance,
+            "ess_first8_mean": float(ess_first8.mean()),
+            "ess_coeff0": float(ess_first8[0]),
+        }
+        print(f"[quality_bfm:{name}] MAP avg {avg:.4f}, ESS(8) "
+              f"{rows[name]['ess_first8_mean']:.0f}, "
+              f"acc {res.acceptance['overall']:.3f}")
+
+    summary = {
+        "workload": "synthetic face stand-in (real BFM assets license-gated)",
+        "density": "exact evaluators; ICP proposal framework default",
+        "rows": rows,
+    }
+    with open(os.path.join(OUT_DIR, "quality_bfm.json"), "w") as f:
+        json.dump(summary, f, indent=2)
+    print(json.dumps(summary, indent=2))
+
+
+if __name__ == "__main__":
+    main()

@@ -23,15 +23,10 @@ OUT_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__)
 
 
 def chain_state_traces(records):
-    """Candidate-on-accept-else-hold reconstruction of state traces."""
-    acc = np.asarray(records.accepted)
-    cand = np.asarray(records.coeffs)
-    states = np.empty_like(cand)
-    cur = np.zeros_like(cand[:, 0])
-    for t in range(cand.shape[1]):
-        cur = np.where(acc[:, t][:, None], cand[:, t], cur)
-        states[:, t] = cur
-    return states, acc
+    """The held chain-state traces.  ``ChainRecord.coeffs`` stores the
+    post-step state directly (candidate on accept, held on reject) since
+    round 4 — no reconstruction needed."""
+    return np.asarray(records.coeffs), np.asarray(records.accepted)
 
 
 def run_row(name, data, setup, n_samples, n_chains, json_path=None):

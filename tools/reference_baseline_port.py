@@ -318,26 +318,61 @@ class PortSampler:
         return np.asarray(trace), n_acc / steps, dt
 
 
+def port_vertex_subset(num_points: int, n: int, seed: int) -> np.ndarray:
+    """The port's OWN id-subset selection (VERDICT r3 item 5: the cross-impl
+    comparison must not share the framework's
+    ``ops.surface_sampling.seeded_vertex_subset`` — a bug there would be
+    invisible).  Contract being matched, written independently: sorted,
+    int32, n ids drawn without replacement by ``RandomState(seed).choice``.
+    If the framework's selection ever deviates from this contract, the two
+    samplers target different densities and the parity study FAILS — which
+    is the point."""
+    n = min(n, num_points)
+    picked = np.random.RandomState(seed).choice(num_points, n, replace=False)
+    picked.sort()
+    return picked.astype(np.int32)
+
+
+def port_boundary_mask(cells: np.ndarray, num_points: int) -> np.ndarray:
+    """The port's OWN boundary-vertex detection (independent of the
+    framework's ``mesh.boundary_vertex_mask``): a vertex is on the boundary
+    iff it belongs to an edge used by exactly one triangle.  Hash-map edge
+    counting instead of the framework's vectorized unique/counts."""
+    from collections import Counter
+
+    counts: Counter = Counter()
+    for tri in np.asarray(cells):
+        a, b, c = int(tri[0]), int(tri[1]), int(tri[2])
+        for e in ((a, b), (b, c), (c, a)):
+            counts[(min(e), max(e))] += 1
+    mask = np.zeros(num_points, dtype=bool)
+    for (u, v), k in counts.items():
+        if k == 1:
+            mask[u] = mask[v] = True
+    return mask
+
+
 def femur_port_sampler(components=100, data=None, **kw):
-    """PortSampler over the femur workload with the FRAMEWORK's seeded id
-    subsets (MixtureProgram seed 1024 / 1025; EvaluatorProgram seed 1024),
-    so it targets the identical parity density as
-    ``apps.femur.make_icp_proposal_setup(..., parity=True)``."""
+    """PortSampler over the femur workload, targeting the identical parity
+    density as ``apps.femur.make_icp_proposal_setup(..., parity=True)``:
+    same seeds (MixtureProgram 1024/1025; EvaluatorProgram 1024), but the id
+    subsets and boundary masks are computed by the port's OWN code above —
+    only the raw mesh/model arrays are shared (IO)."""
     from icp_proposal_tpu.apps.femur import load_femur_data
-    from icp_proposal_tpu.ops.surface_sampling import seeded_vertex_subset
 
     data = data or load_femur_data(model_components=components)
     model = data.model
-    vt = len(np.asarray(data.target.points))
+    tpts = np.asarray(data.target.points)
+    tcells = np.asarray(data.target.cells)
     return PortSampler(
         model,
-        np.asarray(data.target.points),
-        np.asarray(data.target.cells),
-        np.asarray(data.target_boundary_mask),
-        np.asarray(data.model_boundary_mask),
-        icp_model_ids=seeded_vertex_subset(model.num_points, 2 * model.rank, 1024),
-        icp_target_ids=seeded_vertex_subset(vt, 2 * model.rank, 1025),
-        eval_ids=seeded_vertex_subset(model.num_points, 4 * model.rank, 1024),
+        tpts,
+        tcells,
+        port_boundary_mask(tcells, len(tpts)),
+        port_boundary_mask(np.asarray(model.cells), model.num_points),
+        icp_model_ids=port_vertex_subset(model.num_points, 2 * model.rank, 1024),
+        icp_target_ids=port_vertex_subset(len(tpts), 2 * model.rank, 1025),
+        eval_ids=port_vertex_subset(model.num_points, 4 * model.rank, 1024),
         **kw,
     )
 
