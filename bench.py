@@ -69,8 +69,13 @@ def main():
     log(f"load_femur_data took {time.perf_counter() - t:.1f}s")
     t = time.perf_counter()
     ctx, mixture, evaluator = make_icp_proposal_setup(data)
-    step = mh.make_mh_step(data.model, mixture, evaluator, store_params=False)
-    log(f"setup took {time.perf_counter() - t:.1f}s")
+    # BENCH_FUSE=0 disables the fused target-surface query pass (A/B knob;
+    # fused and unfused are numerically identical — test_fused_step_matches_unfused)
+    fuse = os.environ.get("BENCH_FUSE", "1") == "1"
+    step = mh.make_mh_step(
+        data.model, mixture, evaluator, store_params=False, fuse=fuse
+    )
+    log(f"setup took {time.perf_counter() - t:.1f}s (fuse={fuse})")
 
     t = time.perf_counter()
 

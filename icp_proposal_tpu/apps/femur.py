@@ -87,6 +87,19 @@ def make_icp_proposal_setup(data: FemurData, parity: bool = False):
     ctx = build_target_context(data.target, data.target_boundary_mask)
     n_icp = 2 * model.rank
     n_eval = 4 * model.rank
+    evaluator = proximity_and_independent(
+        model, ctx, mode="model_to_target", sigma=2.0, n_points=n_eval
+    )
+    # Query fusion (exact mode only): make the ICP model-vertex subset a
+    # stride-2 slice of the evaluator's Morton-sorted subset, so the MH step
+    # runs ONE target-surface closest-point pass for both (mh._fusion_plan;
+    # ~600 → ~400 queries/step).  Any seeded subset is an equally valid
+    # configuration (SURVEY §7 quirk (a)); parity mode keeps the round-3
+    # independent subsets so the cross-impl port targets the same density.
+    icp_model_ids = (
+        None if parity
+        else np.asarray(evaluator._model_ids["distance"])[::2]
+    )
     mixture = MixtureProgram(
         nest(
             (0.9, mixed_proposal_icp(
@@ -102,9 +115,7 @@ def make_icp_proposal_setup(data: FemurData, parity: bool = False):
         ctx,
         np.asarray(data.model_boundary_mask),
         parity=parity,
-    )
-    evaluator = proximity_and_independent(
-        model, ctx, mode="model_to_target", sigma=2.0, n_points=n_eval
+        icp_model_ids=icp_model_ids,
     )
     return ctx, mixture, evaluator
 
@@ -139,6 +150,10 @@ def make_hybrid_setup(data: FemurData, icp_weight=0.5, mala_weight=0.4,
     model = data.model
     ctx = build_target_context(data.target, data.target_boundary_mask)
     rw_weight = 1.0 - icp_weight - mala_weight
+    evaluator = proximity_and_independent(
+        model, ctx, mode="model_to_target", sigma=sigma_eval,
+        n_points=4 * model.rank,
+    )
     mixture = MixtureProgram(
         nest(
             (icp_weight, mixed_proposal_icp(
@@ -154,10 +169,8 @@ def make_hybrid_setup(data: FemurData, icp_weight=0.5, mala_weight=0.4,
         np.asarray(data.model_boundary_mask),
         parity=False,
         adapt=AdaptConfig() if adapt else None,
-    )
-    evaluator = proximity_and_independent(
-        model, ctx, mode="model_to_target", sigma=sigma_eval,
-        n_points=4 * model.rank,
+        # fused query pass (see make_icp_proposal_setup)
+        icp_model_ids=np.asarray(evaluator._model_ids["distance"])[::2],
     )
     return ctx, mixture, evaluator
 

@@ -154,21 +154,18 @@ class EvaluatorProgram:
 
     # -- likelihood terms ---------------------------------------------------
 
-    def _independent(self, spec: IndependentPointsSpec, points):
+    def _independent(self, spec: IndependentPointsSpec, points, shared_d2=None):
         terms = []
         if spec.mode in ("model_to_target", "symmetric"):
-            q = points[self._model_ids[spec.name]]
-            # K=64 shortlist index (when the context carries one): exact in
-            # the near-surface regime; the measured log-likelihood
-            # perturbation vs the dense kernel is ≤1.2e-4 nats at the
-            # chain's init states and ≤7.8e-3 nats at adversarially far
-            # states (femur GPMM-50, σ=2 — pinned with 6× margin by
-            # test_independent_evaluator_shortlist_perturbation_bounded).
-            # Sum statistics tolerate this; max statistics do not and are
-            # routed dense (_hausdorff/_collective).  Reference queries are
-            # exact (IndependentPointDistanceEvaluator.scala:43,51).
-            d2, _ = distances_auto(q, self.ctx.tri, self.ctx.index)
-            terms.append(("m2t", jnp.sum(gaussian_logpdf(jnp.sqrt(d2), 0.0, spec.sigma))))
+            if shared_d2 is not None:
+                # fused query pass (mh._fusion_plan): d2 for exactly
+                # self._model_ids[spec.name], computed by the same
+                # closest_auto kernel — identical values, one HBM pass
+                terms.append(("m2t", jnp.sum(
+                    gaussian_logpdf(jnp.sqrt(shared_d2), 0.0, spec.sigma)
+                )))
+            else:
+                terms.append(("m2t", self._independent_m2t(spec, points)))
         if spec.mode in ("target_to_model", "symmetric"):
             tq = self.ctx.points[self._target_ids[spec.name]]
             tri_cur = points[self.gpmm.cells]
@@ -177,6 +174,20 @@ class EvaluatorProgram:
         if spec.mode == "symmetric":
             return 0.5 * terms[0][1] + 0.5 * terms[1][1]
         return terms[0][1]
+
+    def _independent_m2t(self, spec: IndependentPointsSpec, points):
+        q = points[self._model_ids[spec.name]]
+        # K=64 shortlist index (when the context carries one): exact in
+        # the near-surface regime; the measured log-likelihood
+        # perturbation vs the dense kernel is ≤1.2e-4 nats at the
+        # chain's init states and ≤7.8e-3 nats at adversarially far
+        # states (femur GPMM-50, σ=2 — pinned with 6× margin by
+        # test_independent_evaluator_shortlist_perturbation_bounded).
+        # Sum statistics tolerate this; max statistics do not and are
+        # routed dense (_hausdorff/_collective).  Reference queries are
+        # exact (IndependentPointDistanceEvaluator.scala:43,51).
+        d2, _ = distances_auto(q, self.ctx.tri, self.ctx.index)
+        return jnp.sum(gaussian_logpdf(jnp.sqrt(d2), 0.0, spec.sigma))
 
     def _hausdorff(self, spec: HausdorffSpec, points):
         # Max statistics are routed through the DENSE kernel, never the K-NN
@@ -232,13 +243,19 @@ class EvaluatorProgram:
 
     # -- program ------------------------------------------------------------
 
-    def __call__(self, state: FitState, current_points) -> Tuple[jax.Array, jax.Array]:
+    def __call__(self, state: FitState, current_points,
+                 shared=None) -> Tuple[jax.Array, jax.Array]:
+        """``shared``: optional dict spec-name → precomputed m2t d2 array
+        from a fused query pass (``mh._fusion_plan``)."""
+        shared = shared or {}
         values = []
         if self.include_prior:
             values.append(gp.prior_logpdf(state.coeffs))
         for s in self.specs:
             if isinstance(s, IndependentPointsSpec):
-                values.append(self._independent(s, current_points))
+                values.append(
+                    self._independent(s, current_points, shared.get(s.name))
+                )
             elif isinstance(s, HausdorffSpec):
                 values.append(self._hausdorff(s, current_points))
             elif isinstance(s, CollectiveAvgMaxSpec):

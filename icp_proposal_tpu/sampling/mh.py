@@ -24,9 +24,60 @@ import jax.numpy as jnp
 import numpy as np
 
 from icp_proposal_tpu.mesh import vertex_face_adjacency, vertex_normals_gather
-from icp_proposal_tpu.sampling.evaluators import EvaluatorProgram
-from icp_proposal_tpu.sampling.proposals import MixtureProgram
+from icp_proposal_tpu.sampling.evaluators import (
+    EvaluatorProgram,
+    IndependentPointsSpec,
+)
+from icp_proposal_tpu.sampling.proposals import IcpComponent, MixtureProgram
 from icp_proposal_tpu.sampling.state import FitState, transformed_points
+
+
+class _FusionPlan(NamedTuple):
+    """Static plan for the fused target-surface query pass.
+
+    The hottest per-step HBM work is the closest-point queries against the
+    (static) target surface: the model-direction ICP correspondence
+    (2·rank queries at the candidate anchor) and the Euclidean evaluator
+    (4·rank queries at the same candidate) — see artifacts/PROFILE.md.
+    When the ICP ids are a SUBSET of the evaluator ids (the fused setups
+    arrange this; any seeded subset is an equally valid configuration,
+    SURVEY §7 quirk (a)), ONE ``closest_auto`` pass serves both: the
+    evaluator consumes d2 of all rows, the ICP factors consume (cp, fidx)
+    of its rows — identical values to the separate calls
+    (``index_distances`` is ``index_closest`` minus cp).
+    """
+
+    eval_ids: object  # np [P] model vertex ids, queried once per step
+    spec_name: str  # evaluator spec consuming the d2
+    icp_maps: dict  # component idx -> np positions into the query rows
+
+
+def _fusion_plan(mixture: MixtureProgram, evaluator: EvaluatorProgram):
+    """Build the fused-query plan, or None when the configuration doesn't
+    allow sharing (different contexts, no m2t Euclidean spec, or ICP ids
+    not a subset of the evaluator ids)."""
+    if evaluator.ctx is not mixture.ctx:
+        return None
+    spec = next(
+        (s for s in evaluator.specs
+         if isinstance(s, IndependentPointsSpec)
+         and s.mode in ("model_to_target", "symmetric")),
+        None,
+    )
+    if spec is None:
+        return None
+    eval_ids = np.asarray(evaluator._model_ids[spec.name])
+    pos = {int(v): i for i, v in enumerate(eval_ids)}
+    icp_maps = {}
+    for i, comp in mixture.icp_components.items():
+        if isinstance(comp, IcpComponent) and comp.spec.direction == "model":
+            ids = np.asarray(comp.model_ids)
+            if all(int(v) in pos for v in ids):
+                icp_maps[i] = np.asarray([pos[int(v)] for v in ids])
+    if not icp_maps:
+        return None
+    return _FusionPlan(eval_ids=eval_ids, spec_name=spec.name,
+                       icp_maps=icp_maps)
 
 
 class MhCarry(NamedTuple):
@@ -74,11 +125,18 @@ class ChainRecord(NamedTuple):
 
 
 def make_mh_step(gpmm, mixture: MixtureProgram, evaluator: EvaluatorProgram,
-                 store_params: bool = False):
-    """Build the jitted MH step function for a fixed configuration."""
+                 store_params: bool = False, fuse: bool = True):
+    """Build the jitted MH step function for a fixed configuration.
+
+    fuse=True shares one target-surface closest-point pass between the
+    model-direction ICP correspondence and the Euclidean evaluator when the
+    configuration allows it (``_fusion_plan``); numerically identical to
+    the separate passes (asserted by ``test_fused_step_matches_unfused``).
+    """
 
     # gradient-informed components differentiate the target density itself
     mixture.bind_target(evaluator)
+    plan = _fusion_plan(mixture, evaluator) if fuse else None
     needs_normals = mixture.needs_normals()
     # static vertex→face adjacency: turns per-step normal accumulation into
     # gathers (scatter-adds serialize on TPU)
@@ -115,13 +173,31 @@ def make_mh_step(gpmm, mixture: MixtureProgram, evaluator: EvaluatorProgram,
         cand_normals = (
             normals_of(cand_pts) if needs_normals else None
         )
-        factors_cand = mixture.anchor_factors(cand, cand_pts, cand_normals)
+        shared_icp = shared_eval = None
+        if plan is not None:
+            # fused query pass: one closest_auto over the evaluator ids
+            # serves the ICP correspondences (subset rows) AND the
+            # Euclidean likelihood (all rows) — see _FusionPlan
+            from icp_proposal_tpu.ops.surface_index import closest_auto
+
+            q = cand_pts[jnp.asarray(plan.eval_ids)]
+            cp_all, d2_all, fidx_all = closest_auto(
+                q, mixture.ctx.tri, mixture.ctx.index
+            )
+            shared_icp = {
+                i: (cp_all[jnp.asarray(m)], fidx_all[jnp.asarray(m)])
+                for i, m in plan.icp_maps.items()
+            }
+            shared_eval = {plan.spec_name: d2_all}
+        factors_cand = mixture.anchor_factors(
+            cand, cand_pts, cand_normals, shared_icp
+        )
 
         log_q_fwd = mixture.log_q_mixture(state, cand, factors_cur, scales)
         log_q_rev = mixture.log_q_mixture(cand, state, factors_cand, scales)
 
         # ---- evaluate candidate posterior ---------------------------------
-        log_post_cand, named_cand = evaluator(cand, cand_pts)
+        log_post_cand, named_cand = evaluator(cand, cand_pts, shared_eval)
 
         log_alpha = (log_post_cand - carry.log_post) + (log_q_rev - log_q_fwd)
         log_alpha = jnp.where(jnp.isnan(log_alpha), -jnp.inf, log_alpha)

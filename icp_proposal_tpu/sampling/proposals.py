@@ -280,14 +280,23 @@ class IcpComponent:
             self._mean_static = np.asarray(gpmm.mean_disp)[model_ids]
             self._ref_static = np.asarray(gpmm.ref_points)[model_ids]
 
-    def factors(self, state: FitState, cur_points, cur_normals) -> gp.PosteriorFactors:
+    def factors(self, state: FitState, cur_points, cur_normals,
+                shared_cp_fidx=None) -> gp.PosteriorFactors:
+        """``shared_cp_fidx``: optional (cp [m,3], fidx [m]) closest-point
+        results for ``model_ids``, pre-sliced from a FUSED query pass over a
+        superset of ids (``mh._fusion_plan``) — identical values to what the
+        in-house ``closest_auto`` call computes, one HBM pass instead of
+        two."""
         spec = self.spec
         if spec.direction == "model":
             # model→target: closest point on target surface for each sampled
             # model vertex; boundary check on the nearest *target* vertex
             # (reference :94-109)
-            q = cur_points[self.model_ids]
-            cp, _, fidx = closest_auto(q, self.ctx.tri, self.ctx.index)
+            if shared_cp_fidx is not None:
+                cp, fidx = shared_cp_fidx
+            else:
+                q = cur_points[self.model_ids]
+                cp, _, fidx = closest_auto(q, self.ctx.tri, self.ctx.index)
             near = nearest_vertex_of_faces(self.ctx.cells, fidx, cp, self.ctx.points)
             on_boundary = jnp.asarray(self.ctx.boundary)[near]
             mask = (
@@ -453,7 +462,8 @@ class MixtureProgram:
 
     def __init__(self, weighted_specs, gpmm, ctx: TargetContext, model_boundary,
                  parity: bool = False, seed: int = 1024,
-                 adapt: "AdaptConfig | None" = None):
+                 adapt: "AdaptConfig | None" = None,
+                 icp_model_ids=None):
         import numpy as np
 
         from icp_proposal_tpu.ops.morton import morton_sort_ids
@@ -491,15 +501,27 @@ class MixtureProgram:
         vt = int(ctx.points.shape[0])
         for i, s in enumerate(self.specs):
             if isinstance(s, IcpSpec):
+                # icp_model_ids: explicit override of the model-vertex subset
+                # (any seeded subset is an equally valid configuration —
+                # SURVEY §7 quirk (a)).  Used by the fused-query setups to
+                # make the ICP correspondence ids a subset of the
+                # evaluator's, so one closest-point pass serves both
+                # (mh._fusion_plan).
                 self.icp_components[i] = IcpComponent(
                     s,
                     gpmm,
                     ctx,
                     model_boundary,
-                    np.asarray(morton_sort_ids(
-                        np.asarray(gpmm.ref_points),
-                        seeded_vertex_subset(gpmm.num_points, s.n_points, seed),
-                    )),
+                    np.asarray(
+                        icp_model_ids[: s.n_points]
+                        if icp_model_ids is not None
+                        else morton_sort_ids(
+                            np.asarray(gpmm.ref_points),
+                            seeded_vertex_subset(
+                                gpmm.num_points, s.n_points, seed
+                            ),
+                        )
+                    ),
                     np.asarray(morton_sort_ids(
                         np.asarray(ctx.points),
                         seeded_vertex_subset(vt, s.n_points, seed + 1),
@@ -524,11 +546,19 @@ class MixtureProgram:
 
     # -- per-step dense computation -----------------------------------------
 
-    def anchor_factors(self, state, cur_points, cur_normals):
+    def anchor_factors(self, state, cur_points, cur_normals, shared=None):
         """ICP posterior factors anchored at ``state`` for every ICP
-        component → dict idx → PosteriorFactors."""
+        component → dict idx → PosteriorFactors.
+
+        ``shared``: optional dict idx → (cp, fidx) from a fused query pass
+        (see ``IcpComponent.factors``)."""
+        shared = shared or {}
         return {
-            i: comp.factors(state, cur_points, cur_normals)
+            i: (
+                comp.factors(state, cur_points, cur_normals, shared.get(i))
+                if isinstance(comp, IcpComponent)
+                else comp.factors(state, cur_points, cur_normals)
+            )
             for i, comp in self.icp_components.items()
         }
 

@@ -424,3 +424,71 @@ def test_mala_vs_rw_same_posterior_better_mixing(sphere_model, sphere_target):
     ess_rw = float(np.mean(np.asarray(ess(jnp.asarray(st_rw), max_lag=200))))
     ess_mala = float(np.mean(np.asarray(ess(jnp.asarray(st_mala), max_lag=200))))
     assert ess_mala > 0.8 * ess_rw, (ess_mala, ess_rw)
+
+
+def test_fused_step_matches_unfused(request):
+    """The fused target-surface query pass (mh._fusion_plan: one
+    closest_auto over the evaluator ids serving both the ICP correspondence
+    and the Euclidean likelihood) must be numerically IDENTICAL to the
+    separate passes — same accept decisions, same states, same densities."""
+    import numpy as np
+
+    from icp_proposal_tpu.apps.femur import load_femur_data
+    from icp_proposal_tpu.sampling.context import build_target_context
+    from icp_proposal_tpu.sampling.evaluators import proximity_and_independent
+    from icp_proposal_tpu.sampling.proposals import (
+        mixed_proposal_icp,
+        mixed_random_shape_proposal,
+    )
+    from icp_proposal_tpu.sampling.state import init_state
+
+    data = load_femur_data(50)
+    model = data.model
+    # index ON so fused/unfused hit the same kernel (index_distances is
+    # index_closest minus cp) — bitwise comparison is then meaningful
+    ctx = build_target_context(
+        data.target, data.target_boundary_mask, build_index=True
+    )
+    evaluator = proximity_and_independent(
+        model, ctx, mode="model_to_target", sigma=2.0, n_points=4 * model.rank
+    )
+    icp_ids = np.asarray(evaluator._model_ids["distance"])[::2]
+    mixture = MixtureProgram(
+        nest(
+            (0.9, mixed_proposal_icp(
+                n_points=2 * model.rank,
+                projection_direction="model_and_target",
+            )),
+            (0.1, mixed_random_shape_proposal()),
+        ),
+        model, ctx, np.asarray(data.model_boundary_mask),
+        icp_model_ids=icp_ids,
+    )
+
+    from icp_proposal_tpu.sampling.mh import _fusion_plan
+
+    plan = _fusion_plan(mixture, evaluator)
+    assert plan is not None and len(plan.icp_maps) == 1  # model dir only
+
+    n_chains, n_steps = 4, 30
+    carry0 = mh.init_carry(model, evaluator, init_state(model), mixture)
+    carries = jax.tree.map(
+        lambda x: jnp.broadcast_to(x, (n_chains,) + x.shape), carry0
+    )
+    keys = jax.random.split(jax.random.PRNGKey(5), n_chains)
+
+    step_f = mh.make_mh_step(model, mixture, evaluator, store_params=True, fuse=True)
+    step_u = mh.make_mh_step(model, mixture, evaluator, store_params=True, fuse=False)
+    _, rec_f = mh.run_chains(step_f, carries, keys, n_steps)
+    _, rec_u = mh.run_chains(step_u, carries, keys, n_steps)
+
+    np.testing.assert_array_equal(
+        np.asarray(rec_f.accepted), np.asarray(rec_u.accepted)
+    )
+    np.testing.assert_allclose(
+        np.asarray(rec_f.log_product), np.asarray(rec_u.log_product),
+        rtol=0, atol=0,
+    )
+    np.testing.assert_allclose(
+        np.asarray(rec_f.coeffs), np.asarray(rec_u.coeffs), rtol=0, atol=0
+    )

@@ -362,6 +362,57 @@ def test_records_hold_state_trace_low_acceptance():
     )
 
 
+def test_pooled_diagnostics_read_converged_at_convergence():
+    """VERDICT r3 item 4 (in-test half; the committed femur artifact is
+    ``artifacts/converged_run_virtual8.json``): run chains LONG ENOUGH to
+    converge and assert the psum-pooled split-R̂ actually reads ~1 — closing
+    the loop from 'diagnostics compile' to 'diagnostics read correctly'.
+    Slow-ish (~1 min on the virtual CPU mesh)."""
+    from icp_proposal_tpu.parallel.runner import make_chain_mesh, run_sharded_chains
+
+    points, cells = make_icosphere(subdivisions=1, radius=50.0)
+    model = make_synthetic_gpmm(points, cells, rank=4, sigma=40.0, scale=4.0)
+    target = TriangleMesh(
+        points=gp.instance_points(model, jnp.zeros(4).at[0].set(1.0)),
+        cells=model.cells,
+    )
+    ctx = build_target_context(target)
+    mixture = MixtureProgram(
+        nest((1.0, [(1.0, RandomShapeSpec(sigma=0.35))])),
+        model, ctx,
+        jnp.asarray(boundary_vertex_mask(np.asarray(model.cells), model.num_points)),
+    )
+    evaluator = build_evaluator(
+        model, ctx,
+        [IndependentPointsSpec(sigma=1.0, mode="model_to_target", n_points=16)],
+    )
+    step = mh.make_mh_step(model, mixture, evaluator, store_params=True)
+
+    # overdispersed inits so R-hat is a real test, not a tautology
+    n_chains, n_steps = 16, 2000
+    key = jax.random.PRNGKey(21)
+    inits = jax.vmap(
+        lambda k: init_state(model)._replace(
+            coeffs=1.5 * jax.random.normal(k, (4,), jnp.float32)
+        )
+    )(jax.random.split(key, n_chains))
+    carries = jax.jit(
+        jax.vmap(lambda s: mh.init_carry(model, evaluator, s, mixture))
+    )(inits)
+    keys = jax.random.split(jax.random.fold_in(key, 1), n_chains)
+    final, records, stats = run_sharded_chains(
+        step, carries, keys, n_steps, make_chain_mesh(),
+        burn_in=n_steps // 2, diag_max_lag=200,
+    )
+    acc = float(np.asarray(records.accepted).mean())
+    assert 0.1 < acc < 0.9
+    rhat_max = float(jnp.max(stats.rhat))
+    assert rhat_max < 1.1, f"pooled split-R̂ {rhat_max} did not converge"
+    # ESS should be substantial but cannot exceed the sample budget
+    ess0 = float(stats.ess)
+    assert 50.0 < ess0 <= n_chains * (n_steps - n_steps // 2) * 1.01
+
+
 def test_extract_best_raises_without_accepted_sample(femur_data):
     """VERDICT r2 item 7: argmax over all-(-inf) must fail loudly, like
     loggers.best_fitting_record (JSONAcceptRejectLogger.scala:142-146)."""

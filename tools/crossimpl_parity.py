@@ -71,38 +71,57 @@ def main():
     import numpy as np
 
     # ---------------- CPU port side (multiprocessing, cached) --------------
-    cfg_sig = np.asarray(
-        [args.components, args.steps, args.burn, args.thin, args.port_chains]
-    )
-    cached = None
+    # Per-CHAIN cache keyed by (components, steps, burn, thin) + seed, so
+    # raising --port-chains ACCUMULATES: already-sampled chains are reused
+    # and only the missing seeds run (VERDICT r3 item 5: 6 chains was a
+    # small sample; overnight accumulation to 12-16 must not re-pay the
+    # first 6).  Backward compatible with the round-3 whole-run cache
+    # format (cfg [5] without per-chain seeds: seeds were 1000..1000+K-1).
+    cfg4 = np.asarray([args.components, args.steps, args.burn, args.thin])
+    seeds_wanted = [1000 + i for i in range(args.port_chains)]
+    cached_chains = {}  # seed -> (mean [r], var [r], acc)
     if args.port_cache and os.path.exists(args.port_cache):
         z = np.load(args.port_cache)
-        if np.array_equal(z["cfg"], cfg_sig):
-            cached = z
-    if cached is not None:
-        port_means, port_vars = cached["means"], cached["vars"]
-        port_acc, port_wall = float(cached["acc"]), float(cached["wall"])
-        print(f"[port] using cached moments from {args.port_cache}")
-    else:
+        if "cfg4" in z and np.array_equal(z["cfg4"], cfg4):
+            for j, s in enumerate(z["seeds"].tolist()):
+                cached_chains[int(s)] = (z["means"][j], z["vars"][j],
+                                         float(z["accs"][j]))
+        elif "cfg" in z and np.array_equal(z["cfg"][:4], cfg4):
+            k_old = int(z["cfg"][4])
+            for j in range(k_old):
+                # old format stored only the pooled acceptance scalar
+                cached_chains[1000 + j] = (z["means"][j], z["vars"][j],
+                                           float(z["acc"]))
+        if cached_chains:
+            print(f"[port] reusing {len(cached_chains)} cached chains "
+                  f"from {args.port_cache}")
+    missing = [s for s in seeds_wanted if s not in cached_chains]
+    t0 = time.perf_counter()
+    if missing:
         from multiprocessing import Pool
 
-        t0 = time.perf_counter()
-        work = [
-            (args.components, args.steps, args.burn, args.thin, 1000 + i)
-            for i in range(args.port_chains)
-        ]
+        work = [(args.components, args.steps, args.burn, args.thin, s)
+                for s in missing]
         with Pool(args.procs) as pool:
-            port_results = pool.map(_run_port_chain, work)
-        port_means = np.stack([r[0] for r in port_results])  # [K, r]
-        port_vars = np.stack([r[1] for r in port_results])
-        port_acc = float(np.mean([r[2] for r in port_results]))
-        port_wall = time.perf_counter() - t0
-        if args.port_cache:
-            os.makedirs(os.path.dirname(args.port_cache), exist_ok=True)
-            np.savez(args.port_cache, cfg=cfg_sig, means=port_means,
-                     vars=port_vars, acc=port_acc, wall=port_wall)
-    print(f"[port] {args.port_chains} chains x {args.steps} steps in "
-          f"{port_wall:.0f}s, acceptance {port_acc:.3f}")
+            for s, r in zip(missing, pool.map(_run_port_chain, work)):
+                cached_chains[s] = (r[0], r[1], float(r[2]))
+    port_wall = time.perf_counter() - t0
+    port_means = np.stack([cached_chains[s][0] for s in seeds_wanted])
+    port_vars = np.stack([cached_chains[s][1] for s in seeds_wanted])
+    port_acc = float(np.mean([cached_chains[s][2] for s in seeds_wanted]))
+    if args.port_cache:
+        os.makedirs(os.path.dirname(args.port_cache), exist_ok=True)
+        all_seeds = sorted(cached_chains)
+        np.savez(
+            args.port_cache, cfg4=cfg4,
+            seeds=np.asarray(all_seeds),
+            means=np.stack([cached_chains[s][0] for s in all_seeds]),
+            vars=np.stack([cached_chains[s][1] for s in all_seeds]),
+            accs=np.asarray([cached_chains[s][2] for s in all_seeds]),
+        )
+    print(f"[port] {args.port_chains} chains x {args.steps} steps "
+          f"({len(missing)} newly sampled, {port_wall:.0f}s), "
+          f"acceptance {port_acc:.3f}")
     if args.port_only:
         return
 

@@ -42,6 +42,11 @@ def run_row(name, data, setup, n_samples, n_chains, json_path=None):
         data.model, data.target, mixture, evaluator,
         accept_info_interval=2000, verbose=True,
     )
+    # compile warm-up with the SAME program shapes (one segment), so the
+    # recorded wall-clock excludes the 200-600 s tunneled-compile cost
+    # (VERDICT r3 item 2: per-row wall must exclude compile, like bench.py)
+    warm = min(reg.accept_info_interval, n_samples)
+    reg.runfitting(warm, key=jax.random.PRNGKey(7), n_chains=n_chains)
     t0 = time.time()
     res = reg.runfitting(n_samples, n_chains=n_chains, json_path=json_path)
     elapsed = time.time() - t0
@@ -60,7 +65,11 @@ def run_row(name, data, setup, n_samples, n_chains, json_path=None):
         "samples": n_samples,
         "chains": n_chains,
         "elapsed_s": elapsed,
+        "wall_excludes_compile": True,
         "samples_per_sec": n_samples * n_chains / elapsed,
+        # the honest hybrid-vs-rw decision metric (VERDICT r3 weak 4): mean
+        # hold-trace ESS earned per wall-second, compile excluded
+        "ess_per_wall_second": float(ess_first8.mean()) / elapsed,
         "map_avg_distance_mm": avg,
         "map_hausdorff_mm": hd,
         "best_log_product": res.best_log_value,
