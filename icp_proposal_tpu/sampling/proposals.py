@@ -507,6 +507,16 @@ class MixtureProgram:
                 # make the ICP correspondence ids a subset of the
                 # evaluator's, so one closest-point pass serves both
                 # (mh._fusion_plan).
+                if icp_model_ids is not None and len(icp_model_ids) < s.n_points:
+                    # ADVICE r4: a short override must not silently shrink the
+                    # correspondence set below what the spec declares (e.g.
+                    # small models where the evaluator subset clamps to
+                    # num_points, so its stride-2 slice is < 2·rank)
+                    raise ValueError(
+                        f"icp_model_ids override has {len(icp_model_ids)} ids "
+                        f"but {s.name} declares n_points={s.n_points}; pass a "
+                        f"subset of at least n_points ids or lower n_points"
+                    )
                 self.icp_components[i] = IcpComponent(
                     s,
                     gpmm,

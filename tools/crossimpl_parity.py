@@ -89,9 +89,12 @@ def main():
         elif "cfg" in z and np.array_equal(z["cfg"][:4], cfg4):
             k_old = int(z["cfg"][4])
             for j in range(k_old):
-                # old format stored only the pooled acceptance scalar
+                # old format stored only the pooled acceptance scalar — flag
+                # per-chain acceptance as NaN so migrated entries are
+                # excluded from the reported mean (ADVICE r4: mixing the
+                # pooled scalar with per-chain values biased the blend)
                 cached_chains[1000 + j] = (z["means"][j], z["vars"][j],
-                                           float(z["acc"]))
+                                           float("nan"))
         if cached_chains:
             print(f"[port] reusing {len(cached_chains)} cached chains "
                   f"from {args.port_cache}")
@@ -108,7 +111,8 @@ def main():
     port_wall = time.perf_counter() - t0
     port_means = np.stack([cached_chains[s][0] for s in seeds_wanted])
     port_vars = np.stack([cached_chains[s][1] for s in seeds_wanted])
-    port_acc = float(np.mean([cached_chains[s][2] for s in seeds_wanted]))
+    # nanmean: entries migrated from the old cache format carry NaN acceptance
+    port_acc = float(np.nanmean([cached_chains[s][2] for s in seeds_wanted]))
     if args.port_cache:
         os.makedirs(os.path.dirname(args.port_cache), exist_ok=True)
         all_seeds = sorted(cached_chains)
@@ -148,7 +152,7 @@ def main():
     fw_target_ids = {frozenset(np.asarray(c.target_ids).tolist()) for c in icp_comps}
     assert frozenset(probe.icp_ids.tolist()) in fw_model_ids, "ICP model ids differ"
     assert frozenset(probe.tgt_ids.tolist()) in fw_target_ids, "ICP target ids differ"
-    ev_ids = evaluator._model_ids["distance"]
+    ev_ids = evaluator.model_ids("distance")
     assert frozenset(probe.eval_ids.tolist()) == frozenset(
         np.asarray(ev_ids).tolist()
     ), "evaluator ids differ"

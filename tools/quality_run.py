@@ -88,10 +88,9 @@ def run_row(name, data, setup, n_samples, n_chains, json_path=None):
 def main():
     from icp_proposal_tpu.analysis.replay import posterior_analysis
     from icp_proposal_tpu.apps.femur import (
+        SETUPS,
         load_femur_data,
-        make_hybrid_setup,
         make_icp_proposal_setup,
-        make_random_walk_setup,
     )
     from icp_proposal_tpu.utils.profiling import enable_compilation_cache
 
@@ -123,11 +122,6 @@ def main():
                        "frac_mismatched": frac}
         print(f"[quality] index check: {index_check}")
 
-    setups = {
-        "flagship": make_icp_proposal_setup,
-        "hybrid": make_hybrid_setup,
-        "rw": make_random_walk_setup,
-    }
     rows = {}
     flagship_res = None
     for name in [r.strip() for r in rows_env.split(",") if r.strip()]:
@@ -136,21 +130,35 @@ def main():
             if name == "flagship" else None
         )
         rows[name], res = run_row(
-            name, data, setups[name], n_samples, n_chains, json_path
+            name, data, SETUPS[name], n_samples, n_chains, json_path
         )
         if name == "flagship":
             flagship_res = res
 
-    summary = {
-        "components": components,
-        "density": "exact (all rows)",
-        "rows": rows,
-        "index_check": index_check,
-    }
+    # MERGE into the existing artifact (rows measured in separate
+    # invocations accumulate instead of clobbering each other; same
+    # machine, same compile-excluded protocol)
+    out_path = os.path.join(OUT_DIR, "quality_femur.json")
+    summary = {"components": components, "density": "exact (all rows; "
+               "'parity' row if present uses the reference density)"}
+    if os.path.exists(out_path):
+        with open(out_path) as f:
+            prev = json.load(f)
+        if prev.get("components") == components:
+            summary["rows"] = prev.get("rows", {})
+    summary.setdefault("rows", {})
+    summary["rows"].update(rows)
+    summary["index_check"] = index_check
+    rows = summary["rows"]
     if "hybrid" in rows and "rw" in rows:
         summary["hybrid_ess_vs_rw"] = (
             rows["hybrid"]["ess_first8_mean"] / rows["rw"]["ess_first8_mean"]
         )
+    # the decision metric, stated as data (VERDICT r4 item 4): which row
+    # earns the most hold-trace ESS per wall-second, compile excluded
+    summary["recommended_by_ess_per_wall_second"] = max(
+        rows, key=lambda k: rows[k]["ess_per_wall_second"]
+    )
 
     if flagship_res is not None:
         post = posterior_analysis(
