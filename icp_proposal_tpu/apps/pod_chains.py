@@ -109,6 +109,10 @@ def main():
         "steps": args.steps,
         "components": args.components,
         "setup": args.setup,
+        # NOTE: this wall-clock includes per-segment host sync and the full
+        # [chains, steps, rank] record streaming the diagnostics need — it is
+        # a diagnostics-run rate, NOT the sampler's throughput ceiling
+        # (bench.py measures that with store_params=False)
         "samples_per_sec": chains * args.steps / dt,
         "samples_per_sec_per_chip": chains * args.steps / dt / n_dev,
         "pooled_acceptance": pooled_acc,
